@@ -1,0 +1,134 @@
+"""Att2in2 speaker: attention captioner used in all three reference training
+stages (ref: models/AttModel.py, `--caption_model att2in2`).
+
+Structure (ref: AttModel.py:53-101, 492-540):
+  embed:    Embedding(V+2, D) -> ReLU -> Dropout
+  fc_embed: identity for att2in2 (AttModel.py:534-540)
+  att_embed:[BatchNorm?] Linear(att_feat, H) -> ReLU -> Dropout
+  ctx2att:  Linear(H, A) applied once per sequence ("p_att_feats", AttModel.py:114)
+  core:     Att2in2Core — maxout LSTM where the attention vector enters only the
+            cell-input path via a2c (AttModel.py:521-525)
+  logit:    Linear(H, V+1)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cooperativeimagecaptioning_tpu.models import layers
+
+
+def init_params(rng, opt):
+    V = opt.vocab_size
+    D = opt.input_encoding_size
+    H = opt.rnn_size
+    A = opt.att_hid_size
+    keys = jax.random.split(rng, 8)
+    params = {
+        "embed": layers.uniform_init(keys[0], (V + 2, D), 0.1),
+        "att_embed": layers.linear_init(keys[1], opt.att_feat_size, H),
+        "ctx2att": layers.linear_init(keys[2], H, A),
+        "core": {
+            "a2c": layers.linear_init(keys[3], H, 2 * H),
+            "i2h": layers.linear_init(keys[4], D, 5 * H),
+            "h2h": layers.linear_init(keys[5], H, 5 * H),
+            "attention": layers.attention_init(keys[6], H, A),
+        },
+        "logit": layers.linear_init(keys[7], H, V + 1),
+    }
+    if getattr(opt, "use_bn", 0):
+        params["att_bn"] = {
+            "scale": jnp.ones((opt.att_feat_size,)),
+            "bias": jnp.zeros((opt.att_feat_size,)),
+        }
+    return params
+
+
+def init_state(params, batch_size: int):
+    H = params["core"]["h2h"]["w"].shape[0]
+    dtype = params["core"]["h2h"]["w"].dtype
+    return (jnp.zeros((batch_size, H), dtype), jnp.zeros((batch_size, H), dtype))
+
+
+def encode_features(params, fc_feats, att_feats, att_masks, rng=None, train=False,
+                    drop_prob: float = 0.0):
+    """Embed attention features once per sequence (ref: AttModel.py:108-114).
+
+    The reference's pack_padded machinery (AttModel.py:31-51) only exists to skip
+    computing embeddings of padded K positions; here we compute them at full static
+    shape (TPU-friendly) and rely on the attention mask — identical math because
+    padded positions are renormalized away (AttModel.py:480-483).
+    """
+    del fc_feats  # att2in2 never uses fc feats (identity fc_embed, unused by core)
+    x = att_feats
+    if "att_bn" in params:
+        mean = jnp.mean(x, axis=(0, 1), keepdims=True)
+        var = jnp.var(x, axis=(0, 1), keepdims=True)
+        x = (x - mean) / jnp.sqrt(var + 1e-5)
+        x = x * params["att_bn"]["scale"] + params["att_bn"]["bias"]
+    emb = jax.nn.relu(layers.linear(params["att_embed"], x))
+    if train and drop_prob > 0.0:
+        emb = layers.dropout(rng, emb, drop_prob, deterministic=False)
+    p_att = layers.linear(params["ctx2att"], emb)
+    return {"att_feats": emb, "p_att_feats": p_att, "att_masks": att_masks}
+
+
+def prefix_embeddings(params, ctx, rng=None, train=False):
+    """No pre-BOS inputs for the attention model."""
+    del params, ctx, rng, train
+    return []
+
+
+def embed_token(params, ids, rng=None, train=False, drop_prob: float = 0.0):
+    """Embedding -> ReLU -> Dropout (ref: AttModel.py:74-76)."""
+    x = jax.nn.relu(layers.embedding_lookup(params["embed"], ids))
+    if train and drop_prob > 0.0:
+        x = layers.dropout(rng, x, drop_prob, deterministic=False)
+    return x
+
+
+def embed_soft(params, soft_vec, rng=None, train=False, drop_prob: float = 0.0):
+    """Soft-vector embedding: matmul with raw table then relu_dropout
+    (ref: AttModel.py:395-397)."""
+    x = jax.nn.relu(soft_vec @ params["embed"])
+    if train and drop_prob > 0.0:
+        x = layers.dropout(rng, x, drop_prob, deterministic=False)
+    return x
+
+
+def step(params, ctx, state, xt, rng=None, train=False, drop_prob: float = 0.0):
+    """One Att2in2 step (ref: AttModel.py:510-531).
+
+    Attention is computed from the *previous* hidden state; the attention vector
+    enters only the in-transform (cell input) path through a2c.  Dropout here is
+    applied to the *output* only — the recurrent state keeps the clean next_h
+    (AttModel.py:529-530), unlike FCModel.
+    """
+    h_prev, c_prev = state
+    H = h_prev.shape[-1]
+    att_res = layers.additive_attention(
+        params["core"]["attention"], h_prev,
+        ctx["att_feats"], ctx["p_att_feats"], ctx["att_masks"])
+    sums = layers.linear(params["core"]["i2h"], xt) + \
+        layers.linear(params["core"]["h2h"], h_prev)
+    sig = jax.nn.sigmoid(sums[:, : 3 * H])
+    in_gate = sig[:, :H]
+    forget_gate = sig[:, H: 2 * H]
+    out_gate = sig[:, 2 * H: 3 * H]
+    in_transform = sums[:, 3 * H: 5 * H] + \
+        layers.linear(params["core"]["a2c"], att_res)
+    in_transform = jnp.maximum(in_transform[:, :H], in_transform[:, H: 2 * H])
+    next_c = forget_gate * c_prev + in_gate * in_transform
+    next_h = out_gate * jnp.tanh(next_c)
+    out = next_h
+    if train and drop_prob > 0.0:
+        out = layers.dropout(rng, out, drop_prob, deterministic=False)
+    return (next_h, next_c), out
+
+
+def logits(params, out):
+    return layers.linear(params["logit"], out)
+
+
+TEACHER_FORCING_DROPS_PREFIX_OUTPUT = False

@@ -1,0 +1,369 @@
+"""lax.scan decoders: teacher-forced forward, multi-mode sampling, on-device beam
+search.  Generic over the speaker module interface (fc_model / att_model).
+
+TPU-first redesign of the reference's Python-level per-step loops:
+  - teacher forcing    ref: AttModel.py:103-148, FCModel.py:91-131
+  - sampling (5 modes) ref: AttModel.py:291-452, FCModel.py:260-327
+  - beam search        ref: AttModel.py:150-289, FCModel.py:133-258
+
+The reference breaks out of time loops when every sequence hits EOS and truncates
+outputs; here every loop is a fixed `seq_length`-step lax.scan with an `unfinished`
+mask, so the emitted sequences are zero-padded to full length — numerically identical
+under the masked losses (mask construction `(seq > 0)[:, :-1]` is padding-invariant).
+
+Beam search is fully vectorized: the beam dimension is folded into batch, candidate
+expansion is a top-k over beam x vocab, and recurrent state is gathered by beam
+index — replacing the reference's per-image / per-candidate Python loops and
+per-step device->host copies (AttModel.py:202).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cooperativeimagecaptioning_tpu.ops import relaxations
+
+NEG_INF = -1e38
+
+
+class SampleOutput(NamedTuple):
+    seq: Any          # [B, L] int32 — sampled word ids, 0-padded after EOS
+    logprobs: Any     # [B, L] float — per-step logprob of the sampled word
+    soft: Any = None  # [B, L, V+2] relaxed one-hot/soft vectors (one-hot modes only)
+
+
+# ---------------------------------------------------------------------------
+# Teacher-forced forward
+# ---------------------------------------------------------------------------
+
+def teacher_forced_logprobs(module, params, ctx, inputs, rng=None, train=False,
+                            drop_prob=0.0, ss_prob=0.0):
+    """Log-probs for each next-token prediction.
+
+    inputs: [B, T] token ids — the reference feeds labels[:, :-1] (column 0 is the
+    zero pad that acts as the training-time start token; ref FCModel.py:115,
+    AttModel.py:131).  Returns [B, T, V+1] logprobs aligned with targets
+    labels[:, 1:].
+
+    Scheduled sampling (ref: AttModel.py:118-129): for step j >= 1, each row is
+    replaced with prob `ss_prob` by a sample from the previous step's predictive
+    distribution.
+    """
+    B, T = inputs.shape
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    state = module.init_state(params, B)
+    rng, rng_prefix = jax.random.split(rng)
+    for pe in module.prefix_embeddings(params, ctx, rng=rng_prefix, train=train):
+        rng, r_step = jax.random.split(rng)
+        state, _ = module.step(params, ctx, state, pe, r_step, train, drop_prob)
+
+    nclass = params["logit"]["w"].shape[1]
+    lp0 = jnp.zeros((B, nclass), jnp.float32)
+    use_ss = train and (not isinstance(ss_prob, float) or ss_prob > 0.0)
+    ss_prob = jnp.asarray(ss_prob, jnp.float32)
+
+    def body(carry, xs):
+        state, prev_lp, rng = carry
+        j, it = xs
+        rng, r_mask, r_draw, r_emb, r_step = jax.random.split(rng, 5)
+        if use_ss:
+            replace = (jax.random.uniform(r_mask, (B,)) < ss_prob) & (j >= 1)
+            sampled = jax.random.categorical(r_draw, prev_lp, axis=-1)
+            it = jnp.where(replace, sampled.astype(it.dtype), it)
+        xt = module.embed_token(params, it, r_emb, train, drop_prob)
+        state, out = module.step(params, ctx, state, xt, r_step, train, drop_prob)
+        lp = jax.nn.log_softmax(module.logits(params, out), axis=-1)
+        return (state, lp, rng), lp
+
+    xs = (jnp.arange(T), jnp.moveaxis(inputs, 1, 0))
+    (_, _, _), lps = jax.lax.scan(body, (state, lp0, rng), xs)
+    return jnp.moveaxis(lps, 0, 1)  # [B, T, V+1]
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+def _make_selector(mode, temperature, gumbel_temp, multinomial_temp,
+                   prob_gumbel_softmax, prob_multinomial_soft):
+    """Token selector: (rng, logprobs) -> (it, sample_lp, relaxed_or_None).
+
+    Mode mapping from reference flags (AttModel.py:327-392, FCModel.py:281-301):
+      greedy           sample_max == 1
+      gumbel_noise_max sample_max == 2 (FCModel.py:284-289)
+      sample           multinomial draw at `temperature` (reinforce / plain)
+      gumbel_st        retrieval_reward == 'gumbel'
+      multinomial_st   retrieval_reward == 'multinomial'
+      gumbel_soft      retrieval_reward == 'gumbel_softmax'
+      multinomial_soft retrieval_reward == 'multinomial_soft'
+    """
+    def gather(lp, it):
+        return jnp.take_along_axis(lp, it[:, None], axis=1)[:, 0]
+
+    if mode == "greedy":
+        def select(rng, lp):
+            it = jnp.argmax(lp, axis=-1)
+            return it, jnp.max(lp, axis=-1), None
+    elif mode == "gumbel_noise_max":
+        def select(rng, lp):
+            # ref FCModel.py:285-289: noise = -log(-log(U+eps)+eps), eps=1e-9
+            g = jax.random.uniform(rng, lp.shape)
+            noise = -jnp.log(-jnp.log(g + 1e-9) + 1e-9)
+            perturbed = (lp + noise) / temperature
+            it = jnp.argmax(perturbed, axis=-1)
+            return it, jnp.max(perturbed, axis=-1), None
+    elif mode == "sample":
+        def select(rng, lp):
+            it = jax.random.categorical(rng, lp / temperature, axis=-1)
+            return it, gather(lp, it), None
+    elif mode == "gumbel_st":
+        def select(rng, lp):
+            relaxed, it = relaxations.gumbel_st(rng, lp, gumbel_temp)
+            return it, gather(lp, it), relaxed
+    elif mode == "multinomial_st":
+        def select(rng, lp):
+            relaxed, it = relaxations.multinomial_st(rng, lp, multinomial_temp)
+            return it, gather(lp, it), relaxed
+    elif mode == "gumbel_soft":
+        def select(rng, lp):
+            relaxed, it = relaxations.gumbel_soft(
+                rng, lp, gumbel_temp, prob_gumbel_softmax)
+            return it, gather(lp, it), relaxed
+    elif mode == "multinomial_soft":
+        def select(rng, lp):
+            relaxed, it = relaxations.multinomial_soft(
+                rng, lp, multinomial_temp, prob_multinomial_soft)
+            return it, gather(lp, it), relaxed
+    else:
+        raise ValueError(f"unknown sampling mode: {mode}")
+    return select
+
+
+def sample(module, params, ctx, seq_length, rng, mode="greedy", temperature=1.0,
+           gumbel_temp=10.0, multinomial_temp=1.0, prob_gumbel_softmax=0.25,
+           prob_multinomial_soft=0.25, decoding_constraint=0, train=False,
+           drop_prob=0.0):
+    """Autoregressive sampling under a fixed-length lax.scan.
+
+    Step order matches the reference loop (AttModel.py:323-444): select a token
+    from the previous step's logprobs, record it (masked by `unfinished`), embed
+    the *raw* token (hard modes) or the *unmodified* soft vector (soft modes,
+    AttModel.py:395-399), then run the core.  The relaxed emission recorded in
+    `soft` is post-masking with finished rows replaced by the EOS one-hot
+    (AttModel.py:416-433).
+    """
+    one_hot_mode = mode in ("gumbel_st", "multinomial_st",
+                            "gumbel_soft", "multinomial_soft")
+    select = _make_selector(mode, temperature, gumbel_temp, multinomial_temp,
+                            prob_gumbel_softmax, prob_multinomial_soft)
+
+    fc_or_att = ctx.get("att_feats", ctx.get("fc_feats"))
+    B = fc_or_att.shape[0]
+    nclass = params["logit"]["w"].shape[1]  # V+1
+    vocab_plus2 = nclass + 1                # V+2
+    bos = nclass  # BOS id = vocab_size + 1 = nclass (ref: FCModel.py:279)
+
+    state = module.init_state(params, B)
+    rng, rng_prefix = jax.random.split(rng)
+    for pe in module.prefix_embeddings(params, ctx, rng=rng_prefix, train=train):
+        rng, r_step = jax.random.split(rng)
+        state, _ = module.step(params, ctx, state, pe, r_step, train, drop_prob)
+
+    # t = 0: BOS step
+    rng, r_emb, r_step = jax.random.split(rng, 3)
+    xt = module.embed_token(params, jnp.full((B,), bos, jnp.int32),
+                            r_emb, train, drop_prob)
+    state, out = module.step(params, ctx, state, xt, r_step, train, drop_prob)
+    lp = jax.nn.log_softmax(module.logits(params, out), axis=-1)
+
+    eos_one_hot = jnp.zeros((vocab_plus2,)).at[0].set(1.0)
+
+    def emit(it, sample_lp, relaxed, unfinished, t):
+        """Apply the unfinished-mask bookkeeping of AttModel.py:401-434."""
+        unfinished = jnp.where(t == 1, it > 0, unfinished & (it > 0))
+        it_masked = it * unfinished.astype(it.dtype)
+        if one_hot_mode:
+            oh = jnp.concatenate(
+                [relaxed, jnp.zeros((B, 1), relaxed.dtype)], axis=1)  # [B, V+2]
+            oh = oh * unfinished[:, None].astype(oh.dtype)
+            oh = jnp.where(unfinished[:, None], oh, eos_one_hot[None, :])
+        else:
+            oh = jnp.zeros((B, vocab_plus2), lp.dtype)
+        return unfinished, it_masked, sample_lp, oh
+
+    def body(carry, t):
+        state, lp, unfinished, prev_word, rng = carry
+        rng, r_sel, r_emb, r_step = jax.random.split(rng, 4)
+        it, sample_lp, relaxed = select(r_sel, lp)
+        unfinished, it_masked, sample_lp, oh = emit(
+            it, sample_lp, relaxed, unfinished, t)
+        # Embed the *raw* sampled token / unmodified soft vector (see docstring).
+        if one_hot_mode and mode in ("gumbel_soft", "multinomial_soft"):
+            soft_in = jnp.concatenate(
+                [relaxed, jnp.zeros((B, 1), relaxed.dtype)], axis=1)
+            xt = module.embed_soft(params, soft_in, r_emb, train, drop_prob)
+        else:
+            xt = module.embed_token(params, it, r_emb, train, drop_prob)
+        state, out = module.step(params, ctx, state, xt, r_step, train, drop_prob)
+        logits = module.logits(params, out)
+        if decoding_constraint:
+            penalty = jnp.zeros_like(logits).at[
+                jnp.arange(B), it_masked].set(NEG_INF)
+            logits = logits + penalty
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return (state, lp, unfinished, it_masked, rng), (it_masked, sample_lp, oh)
+
+    unfinished0 = jnp.ones((B,), bool)
+    carry = (state, lp, unfinished0, jnp.zeros((B,), jnp.int32), rng)
+    if seq_length > 1:
+        carry, (seqs, lps, ohs) = jax.lax.scan(
+            body, carry, jnp.arange(1, seq_length))
+        seqs = jnp.moveaxis(seqs, 0, 1)
+        lps = jnp.moveaxis(lps, 0, 1)
+        ohs = jnp.moveaxis(ohs, 0, 1)
+    else:
+        seqs = jnp.zeros((B, 0), jnp.int32)
+        lps = jnp.zeros((B, 0))
+        ohs = jnp.zeros((B, 0, vocab_plus2))
+    # Final selection (reference iteration t == seq_length emits but skips using
+    # the subsequent core step's logprobs).
+    state, lp, unfinished, prev_word, rng = carry
+    rng, r_sel = jax.random.split(rng)
+    it, sample_lp, relaxed = select(r_sel, lp)
+    unfinished, it_masked, sample_lp, oh = emit(
+        it, sample_lp, relaxed, unfinished, jnp.asarray(seq_length))
+    seq = jnp.concatenate([seqs, it_masked[:, None]], axis=1)
+    logprobs = jnp.concatenate([lps, sample_lp[:, None]], axis=1)
+    soft = jnp.concatenate([ohs, oh[:, None]], axis=1) if one_hot_mode else None
+    return SampleOutput(seq.astype(jnp.int32), logprobs, soft)
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+def _expand_for_beams(tree, m):
+    """Repeat each batch row m times along axis 0 ([B, ...] -> [B*m, ...])."""
+    def rep(x):
+        if x is None:
+            return None
+        return jnp.repeat(x, m, axis=0)
+    return jax.tree.map(rep, tree, is_leaf=lambda x: x is None)
+
+
+def beam_search(module, params, ctx, seq_length, beam_size,
+                decoding_constraint=0):
+    """Vectorized on-device beam search (ref: AttModel.py:150-289).
+
+    Semantics reproduced from the reference:
+      * at the first merge step only beam 0 is active (AttModel.py:213-215);
+      * a beam emitting EOS is recorded as done but *keeps decoding*
+        (AttModel.py:259-266) — later re-records always score lower because
+        per-step logprobs are <= 0, so a running max equals the reference's
+        sort-by-p choice;
+      * at the final step every beam is recorded (t == seq_length case);
+      * ties: the reference sorts candidates stably by (word-rank, beam); we take
+        the first maximum in candidate-rank order — identical unless two float
+        sums tie exactly across different words.
+    Returns SampleOutput(seq [B, L], logprobs [B, L]).
+    """
+    fc_or_att = ctx.get("att_feats", ctx.get("fc_feats"))
+    B = fc_or_att.shape[0]
+    m = beam_size
+    nclass = params["logit"]["w"].shape[1]
+    bos = nclass
+    L = seq_length
+
+    ectx = _expand_for_beams(ctx, m)
+    state = module.init_state(params, B * m)
+    for pe in module.prefix_embeddings(params, ectx):
+        state, _ = module.step(params, ectx, state, pe)
+
+    xt = module.embed_token(params, jnp.full((B * m,), bos, jnp.int32))
+    state, out = module.step(params, ectx, state, xt)
+    lp = jax.nn.log_softmax(module.logits(params, out), axis=-1).reshape(B, m, nclass)
+
+    beam_seq = jnp.zeros((B, m, L), jnp.int32)
+    beam_logps = jnp.zeros((B, m, L))
+    beam_sum = jnp.zeros((B, m))
+    best_p = jnp.full((B,), NEG_INF)
+    best_seq = jnp.zeros((B, L), jnp.int32)
+    best_logps = jnp.zeros((B, L))
+
+    def merge(t, lp, beam_seq, beam_logps, beam_sum,
+              best_p, best_seq, best_logps):
+        """One candidate expansion + reduction; returns new beams and best."""
+        lpf = lp
+        if decoding_constraint:
+            # ref AttModel.py:203-206: forbid repeating the word emitted at t-2
+            def apply_pen(lpf):
+                pen = jnp.zeros_like(lpf).at[
+                    jnp.arange(B)[:, None], jnp.arange(m)[None, :],
+                    beam_seq[:, :, t - 2]].set(NEG_INF)
+                return lpf + pen
+            lpf = jax.lax.cond(t > 1, apply_pen, lambda x: x, lpf)
+        cand = beam_sum[:, :, None] + lpf  # [B, m, C]
+        cand = jnp.where(t == 1,
+                         cand.at[:, 1:, :].set(NEG_INF) if m > 1 else cand,
+                         cand)
+        p, flat_idx = jax.lax.top_k(cand.reshape(B, m * nclass), m)
+        q = flat_idx // nclass  # source beam  [B, m]
+        c = flat_idx % nclass   # word id      [B, m]
+        r = jnp.take_along_axis(
+            lpf.reshape(B, m * nclass), flat_idx, axis=1)  # raw step logprob
+        new_seq = jnp.take_along_axis(beam_seq, q[:, :, None], axis=1)
+        new_seq = new_seq.at[:, :, t - 1].set(c)
+        new_logps = jnp.take_along_axis(beam_logps, q[:, :, None], axis=1)
+        new_logps = new_logps.at[:, :, t - 1].set(r)
+        # done-beam recording
+        is_done = (c == 0) | (t == L)
+        done_p = jnp.where(is_done, p, NEG_INF)
+        best_cand = jnp.argmax(done_p, axis=1)  # first max = candidate-rank order
+        cand_p = jnp.take_along_axis(done_p, best_cand[:, None], axis=1)[:, 0]
+        improved = cand_p > best_p
+        sel = lambda new, old: jnp.where(
+            improved.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
+        cand_seq = jnp.take_along_axis(
+            new_seq, best_cand[:, None, None], axis=1)[:, 0]
+        cand_logps = jnp.take_along_axis(
+            new_logps, best_cand[:, None, None], axis=1)[:, 0]
+        best_p = jnp.where(improved, cand_p, best_p)
+        best_seq = sel(cand_seq, best_seq)
+        best_logps = sel(cand_logps, best_logps)
+        return q, c, new_seq, new_logps, p, best_p, best_seq, best_logps
+
+    def body(carry, t):
+        (state, lp, beam_seq, beam_logps, beam_sum,
+         best_p, best_seq, best_logps) = carry
+        q, c, beam_seq, beam_logps, beam_sum, best_p, best_seq, best_logps = \
+            merge(t, lp, beam_seq, beam_logps, beam_sum,
+                  best_p, best_seq, best_logps)
+        # gather recurrent state by source beam
+        def gather_state(x):
+            xm = x.reshape((B, m) + x.shape[1:])
+            xm = jnp.take_along_axis(
+                xm, q.reshape((B, m) + (1,) * (x.ndim - 1)), axis=1)
+            return xm.reshape((B * m,) + x.shape[1:])
+        state = jax.tree.map(gather_state, state)
+        xt = module.embed_token(params, c.reshape(B * m))
+        new_state, out = module.step(params, ectx, state, xt)
+        lp = jax.nn.log_softmax(
+            module.logits(params, out), axis=-1).reshape(B, m, nclass)
+        return (new_state, lp, beam_seq, beam_logps, beam_sum,
+                best_p, best_seq, best_logps), None
+
+    carry = (state, lp, beam_seq, beam_logps, beam_sum,
+             best_p, best_seq, best_logps)
+    if L > 1:
+        carry, _ = jax.lax.scan(body, carry, jnp.arange(1, L))
+    (state, lp, beam_seq, beam_logps, beam_sum,
+     best_p, best_seq, best_logps) = carry
+    # final merge at t == L (no core step needed afterwards)
+    _, _, _, _, _, best_p, best_seq, best_logps = merge(
+        jnp.asarray(L), lp, beam_seq, beam_logps, beam_sum,
+        best_p, best_seq, best_logps)
+    return SampleOutput(best_seq, best_logps)
