@@ -1,0 +1,227 @@
+"""Batch loader with the reference's exact get_batch semantics
+(ref: dataloader.py:56-245) plus TPU-first extensions.
+
+Faithful behaviors:
+  * 3 independent split iterators with wrap/shuffle-on-epoch (BlobFetcher,
+    ref: dataloader.py:340-355) and resumable iterators/split_ix state;
+  * caption subsampling per image: contiguous block or with-replacement when an
+    image has fewer than seq_per_img captions (ref: dataloader.py:152-169);
+  * label padding: zeros at column 0 and the tail (+2 masks, dataloader.py:194-237);
+  * fc replicated seq_per_img times; att padded to batch max K with att_masks;
+  * att_masks collapses to None when every K is equal (ref: dataloader.py:228-229);
+  * data['gts'] carries raw reference rows for reward computation; data['bounds']
+    carries the wrapped-epoch signal.
+
+TPU extensions (off by default):
+  * opt.max_att_len > 0 pads K to a static length (always emitting att_masks) so
+    XLA compiles the training step exactly once;
+  * a daemon-thread prefetcher hides feature IO behind device compute
+    (the reference uses a child-process pool, dataloader.py:314-369).
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+
+import numpy as np
+
+from cooperativeimagecaptioning_tpu.data.sources import FileDataset
+
+
+class _Prefetcher:
+    """Background thread that stays `depth` items ahead of the consumer."""
+
+    def __init__(self, fetch_fn, depth: int):
+        self.fetch_fn = fetch_fn
+        self.q = queue.Queue(maxsize=max(1, depth))
+        self.stop = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        while not self.stop.is_set():
+            item = self.fetch_fn()
+            while not self.stop.is_set():
+                try:
+                    self.q.put(item, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def get(self):
+        return self.q.get()
+
+    def close(self):
+        self.stop.set()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+class DataLoader:
+    """Reference-compatible loader (same public surface as dataloader.py:56-245)."""
+
+    def __init__(self, opt, dataset=None, prefetch: bool = False):
+        self.opt = opt
+        self.batch_size = opt.batch_size
+        self.seq_per_img = opt.seq_per_img
+        self.use_att = getattr(opt, "use_att", True)
+        self.use_fc = getattr(opt, "use_fc", True)
+        self.max_att_len = getattr(opt, "max_att_len", 0)
+        self.ds = dataset if dataset is not None else FileDataset(opt)
+        self.dataset = self.ds.dataset_name
+        self.vocab_size = self.ds.vocab_size
+        self.seq_length = self.ds.seq_length
+        self.ix_to_word = self.ds.ix_to_word
+        self.num_images = self.ds.num_images()
+
+        self.split_ix = {"train": [], "val": [], "test": []}
+        for ix in range(self.num_images):
+            img = self.ds.info["images"][ix]
+            if "split" not in img:
+                for s in self.split_ix:
+                    self.split_ix[s].append(ix)
+            elif img["split"] in self.split_ix:
+                self.split_ix[img["split"]].append(ix)
+            elif opt.train_only == 0:  # restval
+                self.split_ix["train"].append(ix)
+        self.iterators = {"train": 0, "val": 0, "test": 0}
+        self._rng = random.Random(getattr(opt, "seed", 123))
+        self._prefetchers = {}
+        self._prefetch_enabled = prefetch
+        self._prefetch_depth = getattr(opt, "prefetch_batches", 2)
+
+    # -- reference API -------------------------------------------------------
+    def get_vocab(self):
+        return self.ix_to_word
+
+    def get_vocab_size(self):
+        return self.vocab_size
+
+    def get_seq_length(self):
+        return self.seq_length
+
+    def reset_iterator(self, split):
+        self.iterators[split] = 0
+        self._drop_prefetcher(split)
+
+    # -- iteration -----------------------------------------------------------
+    def _next_index(self, split):
+        """ref: dataloader.py:340-355 — advance, wrapping + shuffling train."""
+        ixs = self.split_ix[split]
+        ri = self.iterators[split]
+        ix = ixs[ri]
+        ri_next = ri + 1
+        wrapped = False
+        if ri_next >= len(ixs):
+            ri_next = 0
+            if split == "train":
+                self._rng.shuffle(ixs)
+            wrapped = True
+        self.iterators[split] = ri_next
+        return ix, wrapped
+
+    def _get_captions(self, ix):
+        """ref: dataloader.py:152-169."""
+        ds = self.ds
+        ix1 = ds.label_start_ix[ix] - 1
+        ix2 = ds.label_end_ix[ix] - 1
+        ncap = ix2 - ix1 + 1
+        assert ncap > 0, "an image does not have any label"
+        spi = self.seq_per_img
+        if ncap < spi:
+            seq = np.zeros([spi, self.seq_length], dtype="int64")
+            for q in range(spi):
+                ixl = self._rng.randint(ix1, ix2)
+                seq[q, :] = ds.label[ixl, :self.seq_length]
+        else:
+            ixl = self._rng.randint(ix1, ix2 - spi + 1)
+            seq = ds.label[ixl: ixl + spi, :self.seq_length]
+        return seq
+
+    def _fetch_one(self, split):
+        ix, wrapped = self._next_index(split)
+        fc = self.ds.get_fc(ix) if self.use_fc else np.zeros((1,), np.float32)
+        att = self.ds.get_att(ix) if self.use_att else \
+            np.zeros((1, 1), np.float32)
+        seq = self._get_captions(ix) if self.ds.label is not None else None
+        return fc, att, seq, ix, wrapped
+
+    def _assemble(self, items, split):
+        """ref: dataloader.py:171-245."""
+        batch_size = len(items)
+        spi = self.seq_per_img
+        L = self.seq_length
+        fc_batch, att_batch, label_batch, gts, infos = [], [], [], [], []
+        wrapped = False
+        for fc, att, seq, ix, w in items:
+            wrapped = wrapped or w
+            fc_batch.append(fc)
+            att_batch.append(att)
+            tmp_label = np.zeros([spi, L + 2], dtype="int64")
+            if seq is not None:
+                tmp_label[:, 1: L + 1] = seq
+            label_batch.append(tmp_label)
+            gts.append(self.ds.get_refs(ix) if self.ds.label is not None else [])
+            img = self.ds.info["images"][ix]
+            infos.append({"ix": ix, "id": img["id"],
+                          "file_path": img.get("file_path", "")})
+
+        data = {}
+        data["fc_feats"] = np.stack(
+            sum([[f] * spi for f in fc_batch], [])).astype(np.float32)
+        max_len = max(a.shape[0] for a in att_batch)
+        if self.max_att_len > 0:
+            max_len = max(max_len, self.max_att_len)
+        D = att_batch[0].shape[1]
+        att = np.zeros([batch_size * spi, max_len, D], np.float32)
+        att_masks = np.zeros([batch_size * spi, max_len], np.float32)
+        for i, a in enumerate(att_batch):
+            att[i * spi:(i + 1) * spi, :a.shape[0]] = a
+            att_masks[i * spi:(i + 1) * spi, :a.shape[0]] = 1
+        data["att_feats"] = att
+        # collapse to None when uniform (ref :228-229) unless statically padded
+        if self.max_att_len == 0 and att_masks.sum() == att_masks.size:
+            data["att_masks"] = None
+        else:
+            data["att_masks"] = att_masks
+
+        data["labels"] = np.vstack(label_batch).astype(np.int32)
+        nonzeros = (data["labels"] != 0).sum(1) + 2
+        mask_batch = np.zeros([data["labels"].shape[0], L + 2], np.float32)
+        for i, n in enumerate(nonzeros):
+            mask_batch[i, :n] = 1
+        data["masks"] = mask_batch
+        data["gts"] = gts
+        data["bounds"] = {"it_pos_now": self.iterators[split],
+                          "it_max": len(self.split_ix[split]),
+                          "wrapped": wrapped}
+        data["infos"] = infos
+        return data
+
+    def _fetch_batch(self, split, batch_size):
+        return self._assemble(
+            [self._fetch_one(split) for _ in range(batch_size)], split)
+
+    def _drop_prefetcher(self, split):
+        pf = self._prefetchers.pop(split, None)
+        if pf is not None:
+            pf.close()
+
+    def get_batch(self, split, batch_size=None):
+        batch_size = batch_size or self.batch_size
+        if not self._prefetch_enabled:
+            return self._fetch_batch(split, batch_size)
+        if split not in self._prefetchers:
+            self._prefetchers[split] = _Prefetcher(
+                lambda s=split, b=batch_size: self._fetch_batch(s, b),
+                self._prefetch_depth)
+        return self._prefetchers[split].get()
+
+    def close(self):
+        for split in list(self._prefetchers):
+            self._drop_prefetcher(split)

@@ -1,0 +1,250 @@
+"""Split evaluation: loss accumulation + caption generation + metric hooks
+(ref: eval_utils.py:89-280 eval_split, :283-412 encode_data, :415-542 evalrank).
+
+Functional: takes the joint param tree; jitted decode/loss fns are cached per
+(opt, beam_size) so repeated checkpoint evals reuse compiled programs.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cooperativeimagecaptioning_tpu import models as model_zoo
+from cooperativeimagecaptioning_tpu.models import vse
+from cooperativeimagecaptioning_tpu.ops import decoding, losses
+from cooperativeimagecaptioning_tpu.training import joint
+from cooperativeimagecaptioning_tpu.utils import decode_sequence
+from cooperativeimagecaptioning_tpu.evaluation import retrieval
+
+
+class Evaluator:
+    """Caches jitted eval programs for one opt configuration."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.speaker = model_zoo.setup(opt, opt.caption_model, "caption_model")
+        self._decode_fns = {}
+        self._loss_fn = None
+        self._encode_fn = None
+
+    # -- jitted pieces -------------------------------------------------------
+    def _decode_fn(self, beam_size):
+        if beam_size not in self._decode_fns:
+            spk, opt = self.speaker, self.opt
+
+            def run(params, fc, att, att_masks):
+                sp = joint.speaker_view(params, opt)
+                ctx = spk.encode_features(sp, fc, att, att_masks)
+                if beam_size > 1:
+                    out = decoding.beam_search(
+                        spk, sp, ctx, opt.seq_length, beam_size,
+                        decoding_constraint=opt.decoding_constraint)
+                else:
+                    out = decoding.sample(
+                        spk, sp, ctx, opt.seq_length, jax.random.PRNGKey(123),
+                        mode="greedy",
+                        decoding_constraint=opt.decoding_constraint)
+                return out.seq, out.logprobs
+            self._decode_fns[beam_size] = jax.jit(run)
+        return self._decode_fns[beam_size]
+
+    def loss_fn(self, params, batch, reward):
+        if self._loss_fn is None:
+            opt = self.opt
+            modules = {"speaker": self.speaker}
+            hp = joint.Hyper.from_opt(opt)
+
+            def run(params, batch, reward):
+                return joint.loss_fn(modules, params, opt, batch,
+                                     jax.random.PRNGKey(123), hp,
+                                     "optimizer", reward, train=False)
+            self._loss_fn = jax.jit(run)
+        return self._loss_fn(params, batch, reward)
+
+    def encode_fn(self, params, fc, seqs, masks):
+        if self._encode_fn is None:
+            opt = self.opt
+
+            def run(params, fc, seqs, masks):
+                img = vse.encode_image(params["listener"], opt, fc)
+                cap = vse.encode_text(params["listener"], opt, seqs, masks)
+                return img, cap
+            self._encode_fn = jax.jit(run)
+        return self._encode_fn(params, fc, seqs, masks)
+
+    # -- helpers -------------------------------------------------------------
+    def _batch_arrays(self, data):
+        batch = {"fc_feats": jnp.asarray(data["fc_feats"]),
+                 "labels": jnp.asarray(data["labels"]),
+                 "masks": jnp.asarray(data["masks"])}
+        if data.get("att_feats") is not None and self.opt.use_att:
+            batch["att_feats"] = jnp.asarray(data["att_feats"])
+            batch["att_masks"] = (jnp.asarray(data["att_masks"])
+                                  if data.get("att_masks") is not None else None)
+        else:
+            batch["att_feats"] = None
+            batch["att_masks"] = None
+        return batch
+
+    def _dedup(self, data, loader):
+        """One feature row per image (ref: eval_utils.py:163-176)."""
+        idx = np.arange(loader.batch_size) * loader.seq_per_img
+        fc = jnp.asarray(data["fc_feats"][idx])
+        att = jnp.asarray(data["att_feats"][idx]) \
+            if data.get("att_feats") is not None and self.opt.use_att else None
+        am = jnp.asarray(data["att_masks"][idx]) \
+            if data.get("att_masks") is not None and self.opt.use_att else None
+        return fc, att, am
+
+    # -- main entry (ref: eval_utils.py:89-280) -------------------------------
+    def eval_split(self, params, loader, eval_kwargs=None, ann_file=None,
+                   use_gen_sent=False):
+        opt = self.opt
+        ek = dict(eval_kwargs or {})
+        num_images = ek.get("num_images", ek.get("val_images_use",
+                                                 opt.val_images_use))
+        split = ek.get("split", "val")
+        lang_eval = ek.get("language_eval", opt.language_eval)
+        rank_eval = ek.get("rank_eval", opt.rank_eval)
+        beam_size = int(ek.get("beam_size", opt.beam_size))
+        verbose = ek.get("verbose", False)
+
+        np.random.seed(123)  # determinism pin (ref: eval_utils.py:105)
+        loader.reset_iterator(split)
+        n = 0
+        losses_acc = {}
+        loss_evals = 1e-8
+        predictions = []
+        decode = self._decode_fn(beam_size)
+        while True:
+            data = loader.get_batch(split)
+            n += loader.batch_size
+            if data.get("labels") is not None:
+                batch = self._batch_arrays(data)
+                reward = jnp.zeros((data["labels"].shape[0],), jnp.float32)
+                if joint.needs_reward(opt, "optimizer"):
+                    reward = self._reward_for(params, batch, data)
+                loss, aux = self.loss_fn(params, batch, reward)
+                for k, v in aux.items():
+                    losses_acc[k] = losses_acc.get(k, 0.0) + float(v)
+                losses_acc["loss"] = losses_acc.get("loss", 0.0) + float(loss)
+                loss_evals += 1
+
+            fc, att, am = self._dedup(data, loader)
+            seq, _ = decode(params, fc, att, am)
+            sents = decode_sequence(loader.get_vocab(), np.asarray(seq))
+            for k, sent in enumerate(sents):
+                predictions.append({"image_id": data["infos"][k]["id"],
+                                    "caption": sent})
+                if verbose:
+                    print(f"image {data['infos'][k]['id']}: {sent}")
+
+            ix1 = data["bounds"]["it_max"]
+            if num_images != -1:
+                ix1 = min(ix1, num_images)
+            for _ in range(n - ix1):
+                predictions.pop()
+            if data["bounds"]["wrapped"]:
+                break
+            if 0 <= num_images <= n:
+                break
+
+        lang_stats = {}
+        if lang_eval == 1:
+            from cooperativeimagecaptioning_tpu.evaluation import language_eval
+            lang_stats = language_eval.language_eval(
+                opt.dataset, predictions, opt.id, split,
+                getattr(opt, "checkpoint_path", None), ann_file=ann_file,
+                loader=loader)
+
+        out_losses = {k: v / loss_evals for k, v in losses_acc.items()}
+        if rank_eval:
+            ranks = self.evalrank(params, loader, ek, use_gen_sent)
+            out_losses.update(ranks)
+            if use_gen_sent and not ann_file:
+                out_losses["gt_ranks"] = self.evalrank(params, loader, ek,
+                                                       use_gen_sent=False)
+        return out_losses, predictions, lang_stats
+
+    def _reward_for(self, params, batch, data):
+        """Host CIDEr-D reward for the eval loss (ref computes full loss at eval)."""
+        from cooperativeimagecaptioning_tpu.rewards import self_critical
+        hp = joint.Hyper.from_opt(self.opt)
+        gen, greedy = joint.sample_for_reward(
+            {"speaker": self.speaker}, params, self.opt, batch,
+            jax.random.PRNGKey(123), hp, "optimizer", train=False)
+        if self.opt.use_gen_cider_scores:
+            cg, _, _ = self_critical.get_self_critical_reward(
+                data["gts"], np.asarray(gen), np.asarray(greedy),
+                return_gen_scores=True)
+            return jnp.asarray(cg, jnp.float32)
+        scores, _ = self_critical.get_self_critical_reward(
+            data["gts"], np.asarray(gen), np.asarray(greedy))
+        return jnp.asarray(scores, jnp.float32)
+
+    # -- retrieval (ref: eval_utils.py:283-542) --------------------------------
+    def encode_data(self, params, loader, eval_kwargs=None, use_gen_sent=False):
+        opt = self.opt
+        ek = dict(eval_kwargs or {})
+        num_images = ek.get("num_images", ek.get("val_images_use",
+                                                 opt.val_images_use))
+        split = ek.get("split", "val")
+        saved_spi = loader.seq_per_img
+        loader.seq_per_img = 1 if use_gen_sent or \
+            loader.dataset not in ("coco", "flickr8k", "flickr30k") else 5
+        loader.reset_iterator(split)
+        img_embs, cap_embs, images_data = [], [], []
+        n = 0
+        decode = self._decode_fn(1)
+        V = opt.vocab_size
+        while True:
+            data = loader.get_batch(split)
+            n += loader.batch_size
+            if not use_gen_sent:
+                fc = jnp.asarray(data["fc_feats"])
+                img_emb, cap_emb = self.encode_fn(
+                    params, fc, jnp.asarray(data["labels"]),
+                    jnp.asarray(data["masks"]))
+            else:
+                fc, att, am = self._dedup(data, loader)
+                seq, _ = decode(params, fc, att, am)
+                seq_np = np.asarray(seq)
+                seq_masks = losses.masks_from_seq(jnp.asarray(seq_np))
+                bos = np.full((seq_np.shape[0], 1), V + 1, seq_np.dtype)
+                seqs = jnp.asarray(np.hstack([bos, seq_np]))
+                img_emb, cap_emb = self.encode_fn(params, fc, seqs,
+                                                  jnp.asarray(seq_masks))
+            ix1 = data["bounds"]["it_max"]
+            if num_images != -1:
+                ix1 = min(ix1, num_images)
+            img_emb, cap_emb = np.asarray(img_emb), np.asarray(cap_emb)
+            if n > ix1:
+                keep = (ix1 - n) * loader.seq_per_img
+                img_emb, cap_emb = img_emb[:keep], cap_emb[:keep]
+                images_data += data["infos"][: ix1 - n]
+            else:
+                images_data += data["infos"]
+            img_embs.append(img_emb)
+            cap_embs.append(cap_emb)
+            if data["bounds"]["wrapped"]:
+                break
+            if 0 <= num_images <= n:
+                break
+        loader.seq_per_img = saved_spi
+        return np.vstack(img_embs), np.vstack(cap_embs), images_data
+
+    def evalrank(self, params, loader, eval_kwargs=None, use_gen_sent=False):
+        if "listener" not in params:
+            return {}
+        img, cap, images_data = self.encode_data(params, loader, eval_kwargs,
+                                                 use_gen_sent)
+        cpi = 1 if use_gen_sent or loader.dataset not in \
+            ("coco", "flickr8k", "flickr30k") else 5
+        return retrieval.rank_metrics(img, cap, images_data,
+                                      use_gen_sent=use_gen_sent,
+                                      fold5=(eval_kwargs or {}).get("fold5", 0),
+                                      caps_per_image=cpi)

@@ -43,9 +43,10 @@ def init_state(params, batch_size: int):
     return (jnp.zeros((batch_size, H), dtype), jnp.zeros((batch_size, H), dtype))
 
 
-def encode_features(params, fc_feats, att_feats, att_masks, rng=None, train=False):
+def encode_features(params, fc_feats, att_feats, att_masks, rng=None, train=False,
+                    drop_prob: float = 0.0):
     """FC model ignores attention features; context is just the fc feats."""
-    del att_feats, att_masks, rng, train
+    del att_feats, att_masks, rng, train, drop_prob
     return {"fc_feats": fc_feats}
 
 

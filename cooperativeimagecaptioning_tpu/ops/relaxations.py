@@ -56,8 +56,8 @@ def gumbel_soft(rng, logprobs, temperature, ss_prob: float = 0.25):
     g = sample_gumbel(rng_g, logprobs.shape, dtype=logprobs.dtype)
     y = jax.nn.softmax((logprobs + g) / temperature, axis=-1)
     y_hard, ind = _one_hot_of_argmax(y)
-    if ss_prob <= 0.0:
-        return y, ind
+    # ss_prob may be a traced scalar (annealed without recompiling); the masked
+    # path below reduces exactly to `y` when ss_prob == 0.
     mask = (jax.random.uniform(rng_mask, (logprobs.shape[0],)) < ss_prob)
     mask = mask[:, None].astype(y.dtype)
     part_y = y * mask
@@ -73,11 +73,8 @@ def multinomial_st(rng, logprobs, temperature):
     backward d y.  (For T==1, softmax(logprobs) == exp(logprobs) by shift
     invariance, matching the reference exactly.)
     """
-    if temperature == 1:
-        y = jax.nn.softmax(logprobs, axis=-1)
-    else:
-        y = jax.nn.softmax(logprobs / temperature, axis=-1)
-    ind = jax.random.categorical(rng, jnp.log(y), axis=-1)
+    y = jax.nn.softmax(logprobs / temperature, axis=-1)
+    ind = jax.random.categorical(rng, logprobs / temperature, axis=-1)
     y_hard = jax.nn.one_hot(ind, y.shape[-1], dtype=y.dtype)
     one_hot = jax.lax.stop_gradient(y_hard - y) + y
     return one_hot, ind
@@ -91,14 +88,9 @@ def multinomial_soft(rng, logprobs, temperature, ss_prob: float = 0.25):
     unnormalized y is what flows through the soft rows.  Reproduced faithfully.
     """
     rng_draw, rng_mask = jax.random.split(rng)
-    if temperature == 1:
-        y = jnp.exp(logprobs)
-    else:
-        y = jnp.exp(logprobs / temperature)
+    y = jnp.exp(logprobs / temperature)
     ind = jax.random.categorical(rng_draw, logprobs / temperature, axis=-1)
     y_hard = jax.nn.one_hot(ind, y.shape[-1], dtype=y.dtype)
-    if ss_prob <= 0.0:
-        return y, ind
     mask = (jax.random.uniform(rng_mask, (logprobs.shape[0],)) < ss_prob)
     mask = mask[:, None].astype(y.dtype)
     part_y = y * mask

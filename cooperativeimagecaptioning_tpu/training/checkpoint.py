@@ -1,0 +1,185 @@
+"""Checkpoint manager honoring the reference artifact taxonomy (SURVEY.md §5.4).
+
+Per run directory (opt.checkpoint_path):
+  model.pth / alternatingModel.pth (+ -<iter> variants, -best, model_vse-best)
+      -> pickled numpy param trees            (ref: train.py:121-129, 299-306)
+  optimizer.pth / {speaker,listener}_optimizer.pth
+      -> pickled numpy optax states           (ref: optimizer.py:191-221)
+  infos_<id>.pkl (+ -<iter>, -best), histories_<id>.pkl
+      -> same keys as the reference           (ref: train.py:309-347)
+
+File contents are framework-native (numpy pytrees, not torch state_dicts) but the
+file layout, naming, and resume semantics are preserved so experiment tooling
+written against the reference keeps working.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _to_jax(tree):
+    return jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree)
+
+
+def save_params(params, path):
+    with open(path, "wb") as f:
+        pickle.dump(_to_numpy(params), f)
+
+
+def load_params(path):
+    with open(path, "rb") as f:
+        return _to_jax(pickle.load(f))
+
+
+def load_params_into(params, path, strict=False):
+    """Lenient merge like ref misc/utils.py:89-107: copy overlapping leaves,
+    report mismatches, keep the rest."""
+    loaded = load_params(path)
+
+    def merge(cur, new, prefix=""):
+        if isinstance(cur, dict):
+            out = {}
+            for k, v in cur.items():
+                if isinstance(new, dict) and k in new:
+                    out[k] = merge(v, new[k], prefix + k + ".")
+                else:
+                    if strict:
+                        raise KeyError(f"missing key {prefix + k} in checkpoint")
+                    print(f"key {prefix + k} not in loaded checkpoint")
+                    out[k] = v
+            for k in (new or {}):
+                if k not in cur:
+                    print(f"key {prefix + k} in checkpoint not in model")
+            return out
+        if hasattr(new, "shape") and tuple(new.shape) != tuple(cur.shape):
+            print(f"key {prefix[:-1]} size mismatch "
+                  f"{tuple(new.shape)} vs {tuple(cur.shape)}; flatten-copy")
+            flat_new = np.asarray(new).reshape(-1)
+            flat_cur = np.array(cur).reshape(-1)
+            n = min(flat_new.size, flat_cur.size)
+            flat_cur[:n] = flat_new[:n]
+            return jnp.asarray(flat_cur.reshape(np.asarray(cur).shape))
+        return jnp.asarray(new)
+
+    return merge(params, loaded)
+
+
+def model_filename(opt, iteration=None, best=False, vse_best=False):
+    kind = "alternatingModel" if opt.is_alternating else "model"
+    if vse_best:
+        return "model_vse-best.pth"
+    if best:
+        return "model-best.pth"
+    if iteration is not None:
+        return f"{kind}-{iteration}.pth"
+    return f"{kind}.pth"
+
+
+def save_pkl(checkpoint_path, run_id, file_name, payload, iteration=None,
+             best=False):
+    """ref: train.py:95-118."""
+    assert not (iteration is not None and best)
+    ext = f"-{iteration}" if iteration is not None else ("-best" if best else "")
+    path = os.path.join(checkpoint_path, f"{file_name}_{run_id}{ext}.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    return path
+
+
+def load_pkl(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+class CheckpointManager:
+    def __init__(self, opt):
+        self.opt = opt
+        os.makedirs(opt.checkpoint_path, exist_ok=True)
+
+    def save_model(self, params, iteration=None):
+        """ref: train.py:121-129 (always latest; plus per-iteration copy)."""
+        base = os.path.join(self.opt.checkpoint_path,
+                            model_filename(self.opt))
+        save_params(params, base)
+        if iteration is not None:
+            save_params(params, os.path.join(
+                self.opt.checkpoint_path,
+                model_filename(self.opt, iteration=iteration)))
+
+    def save_best(self, params, vse=False):
+        save_params(params, os.path.join(
+            self.opt.checkpoint_path,
+            model_filename(self.opt, best=not vse, vse_best=vse)))
+
+    def save_optimizers(self, optim_manager):
+        """ref: optimizer.py:191-221 naming."""
+        states = _to_numpy(optim_manager.state_dict())
+        if self.opt.is_alternating:
+            for agent, st in states.items():
+                with open(os.path.join(self.opt.checkpoint_path,
+                                       f"{agent}_optimizer.pth"), "wb") as f:
+                    pickle.dump(st, f)
+        else:
+            agent = "listener" if self.opt.phase == 1 else "speaker"
+            st = states.get(agent, next(iter(states.values())))
+            with open(os.path.join(self.opt.checkpoint_path,
+                                   "optimizer.pth"), "wb") as f:
+                pickle.dump(st, f)
+
+    def save_infos(self, infos, iteration):
+        args = (self.opt.checkpoint_path, self.opt.id)
+        save_pkl(*args, "infos", infos)
+        save_pkl(*args, "infos", infos, iteration=iteration)
+
+    def save_histories(self, histories):
+        save_pkl(self.opt.checkpoint_path, self.opt.id, "histories", histories)
+
+    def save_best_infos(self, infos, vse=False):
+        save_pkl(self.opt.checkpoint_path, self.opt.id,
+                 "infos_vse" if vse else "infos", infos, best=True)
+
+    # -- resume --------------------------------------------------------------
+    def try_load_model(self, params, iteration=None):
+        sf = self.opt.start_from
+        if not sf:
+            return params, False
+        kind = "alternatingModel" if self.opt.is_alternating else "model"
+        name = f"{kind}-{iteration}.pth" if iteration else f"{kind}.pth"
+        path = os.path.join(sf, name)
+        if os.path.isfile(path):
+            return load_params_into(params, path), True
+        return params, False
+
+    def load_infos(self):
+        """ref: train.py:143-159 with opt-compatibility asserts."""
+        sf = self.opt.start_from
+        if not sf:
+            return {}
+        path = os.path.join(sf, f"infos_{self.opt.id}.pkl")
+        if not os.path.isfile(path):
+            return {}
+        infos = load_pkl(path)
+        saved = infos.get("opt")
+        if saved is not None:
+            for k in ("caption_model", "rnn_type", "rnn_size", "num_layers"):
+                assert vars(saved)[k] == vars(self.opt)[k], \
+                    f"Command line argument and saved model disagree on '{k}'"
+        return infos
+
+    def load_histories(self):
+        sf = self.opt.start_from
+        if not sf:
+            return {}
+        path = os.path.join(sf, f"histories_{self.opt.id}.pkl")
+        return load_pkl(path) if os.path.isfile(path) else {}

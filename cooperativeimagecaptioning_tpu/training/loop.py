@@ -1,0 +1,288 @@
+"""Training driver (ref: train.py).
+
+One iteration = turn selection -> schedule updates -> batch -> [stage A sampling +
+host CIDEr-D reward] -> jitted grad step -> per-agent optimizer updates -> logging;
+periodic checkpoint operations run eval and persist the full artifact taxonomy
+(ref: train.py:473-562, operations_in_checkpoint :438-470).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cooperativeimagecaptioning_tpu import config as config_mod
+from cooperativeimagecaptioning_tpu.data import DataLoader
+from cooperativeimagecaptioning_tpu.rewards import self_critical
+from cooperativeimagecaptioning_tpu.training import joint, schedules
+from cooperativeimagecaptioning_tpu.training.checkpoint import CheckpointManager
+from cooperativeimagecaptioning_tpu.training.optim import (
+    OptimizerManager, effective_turns)
+
+
+class Trainer:
+    def __init__(self, opt, dataset=None, rng_seed=None, verbose=True):
+        opt.use_att = config_mod.if_use_att(opt)
+        self.opt = opt
+        self.verbose = verbose
+        self.loader = DataLoader(opt, dataset=dataset,
+                                 prefetch=getattr(opt, "prefetch_batches", 0) > 0
+                                 and dataset is None)
+        opt.vocab_size = self.loader.vocab_size
+        opt.seq_length = self.loader.seq_length
+
+        self.ckpt = CheckpointManager(opt)
+        infos = self.ckpt.load_infos()
+        histories = self.ckpt.load_histories()
+
+        # model params (+ bootstrap cascade, ref AlternatingJointModel.py:131-177)
+        seed = rng_seed if rng_seed is not None else getattr(opt, "seed", 123)
+        params = joint.init_params(jax.random.PRNGKey(seed), opt)
+        params, resumed = self.ckpt.try_load_model(params)
+        if not resumed and opt.is_alternating and \
+                getattr(opt, "continue_from_existing_models", True):
+            import os
+            from cooperativeimagecaptioning_tpu.training import checkpoint as ck
+            if opt.speaker_stage_2_model_path and \
+                    os.path.isfile(opt.speaker_stage_2_model_path):
+                params = ck.load_params_into(
+                    params, opt.speaker_stage_2_model_path)
+        if getattr(opt, "initialize_retrieval", None):
+            # listener-only init (ref: AlternatingJointModel.py:169-177)
+            import os
+            from cooperativeimagecaptioning_tpu.training import checkpoint as ck
+            if os.path.isfile(opt.initialize_retrieval):
+                loaded = ck.load_params(opt.initialize_retrieval)
+                if "listener" in loaded:
+                    params = dict(params)
+                    params["listener"] = jax.tree.map(
+                        jnp.asarray, loaded["listener"])
+        self.params = params
+
+        self.optim = OptimizerManager(opt, params)
+        self.turns = effective_turns(opt)
+
+        # resume counters (ref: train.py:360-375)
+        self.iteration = infos.get("iter", 0)
+        self.epoch = infos.get("epoch", 0)
+        self.epoch_start = self.epoch
+        self.loader.iterators = infos.get("iterators", self.loader.iterators)
+        self.loader.split_ix = infos.get("split_ix", self.loader.split_ix)
+        self.gumbel_temp = infos.get("gumbel_temp", opt.gumbel_temp)
+        self.best_val_score = infos.get("best_val_score", None) \
+            if opt.load_best_score else None
+        self.best_val_score_vse = infos.get("best_val_score_vse", None) \
+            if opt.load_best_score else None
+        self.infos = infos
+        self.histories = histories
+        self.val_result_history = histories.get("val_result_history", {})
+        self.loss_history = histories.get("loss_history", {})
+        self.lr_history = histories.get("lr_history", {})
+        self.ss_prob_history = histories.get("ss_prob_history", {})
+
+        self._step_fns = {}
+        self._rng = jax.random.PRNGKey(seed + 1)
+        self._evaluator = None
+        if opt.cider_optimization > 0:
+            self_critical.init_scorer(opt.cached_tokens)
+        self._update_schedules()
+
+    # -- schedules -----------------------------------------------------------
+    def _update_schedules(self):
+        opt, epoch = self.opt, self.epoch
+        opt.current_lr = schedules.current_lr(opt, epoch)
+        opt.ss_prob = schedules.scheduled_sampling_prob(opt, epoch)
+        self._retrieval_w = schedules.retrieval_reward_weight(opt, epoch)
+        self._pg, self._pm = schedules.soft_sampling_probs(
+            opt, epoch, self.epoch_start)
+        self.optim.set_lr(opt.current_lr)
+
+    def _hyper(self):
+        hp = joint.Hyper.from_opt(self.opt)
+        return hp._replace(
+            ss_prob=jnp.float32(self.opt.ss_prob),
+            gumbel_temp=jnp.float32(self.gumbel_temp),
+            retrieval_reward_weight=jnp.float32(self._retrieval_w),
+            prob_gumbel_softmax=jnp.float32(self._pg),
+            prob_multinomial_soft=jnp.float32(self._pm))
+
+    def _fns(self, turn):
+        if turn not in self._step_fns:
+            self._step_fns[turn] = joint.make_step_fns(self.opt, turn)
+        return self._step_fns[turn]
+
+    @staticmethod
+    def _batch_arrays(data, use_att):
+        batch = {"fc_feats": jnp.asarray(data["fc_feats"]),
+                 "labels": jnp.asarray(data["labels"]),
+                 "masks": jnp.asarray(data["masks"])}
+        if use_att and data.get("att_feats") is not None:
+            batch["att_feats"] = jnp.asarray(data["att_feats"])
+            batch["att_masks"] = (jnp.asarray(data["att_masks"])
+                                  if data.get("att_masks") is not None else None)
+        else:
+            batch["att_feats"] = None
+            batch["att_masks"] = None
+        return batch
+
+    # -- one iteration ---------------------------------------------------------
+    def train_iteration(self, data=None):
+        opt = self.opt
+        turn = self.turns[self.iteration % len(self.turns)] \
+            if opt.is_alternating else "optimizer"
+
+        # schedule maintenance (ref: train.py:416-435)
+        if schedules.should_anneal(opt, self.iteration):
+            self.gumbel_temp = schedules.anneal_gumbel_temp(
+                self.gumbel_temp, opt, self.iteration)
+        if opt.softmax_cooling_decay_factor > 0:
+            self._pg, self._pm = schedules.soft_sampling_probs(
+                opt, self.epoch, self.epoch_start)
+
+        if data is None:
+            data = self.loader.get_batch("train")
+        batch = self._batch_arrays(data, opt.use_att)
+        hp = self._hyper()
+        self._rng, rng = jax.random.split(self._rng)
+
+        sample_fn, grad_fn = self._fns(turn)
+        B = data["labels"].shape[0]
+        reward = jnp.zeros((B,), jnp.float32)
+        aux_host = {}
+        if joint.needs_reward(opt, turn):
+            gen, greedy = sample_fn(self.params, batch, rng, hp)
+            if opt.use_gen_cider_scores:
+                cg, scores, cider_greedy = \
+                    self_critical.get_self_critical_reward(
+                        data["gts"], np.asarray(gen), np.asarray(greedy),
+                        return_gen_scores=True)
+                reward_np = cg
+            else:
+                scores, cider_greedy = self_critical.get_self_critical_reward(
+                    data["gts"], np.asarray(gen), np.asarray(greedy))
+                reward_np = scores
+            reward = jnp.asarray(reward_np, jnp.float32)
+            aux_host["avg_reward"] = float(np.mean(scores))
+            aux_host["cider_greedy"] = float(cider_greedy)
+
+        (loss, aux), grads = grad_fn(self.params, batch, rng, hp, reward)
+        self.params = self.optim.step(self.params, grads, turn)
+
+        loss_dict = {k: float(v) for k, v in aux.items()}
+        loss_dict.update(aux_host)
+        loss_dict["loss"] = float(loss)
+
+        # iteration/epoch bookkeeping (ref: train.py:229-235)
+        self.iteration += 1
+        if data["bounds"]["wrapped"]:
+            self.epoch += 1
+            self._update_schedules()
+        return loss_dict, turn, data
+
+    # -- checkpoint ops (ref: train.py:438-470) --------------------------------
+    def evaluator(self):
+        if self._evaluator is None:
+            from cooperativeimagecaptioning_tpu.evaluation.eval_split import \
+                Evaluator
+            self._evaluator = Evaluator(self.opt)
+        return self._evaluator
+
+    def checkpoint_operations(self):
+        opt = self.opt
+        ev = self.evaluator()
+        eval_kwargs = {"split": "val", "dataset": opt.input_json}
+        eval_kwargs.update(vars(opt))
+        val_loss, predictions, lang_stats = ev.eval_split(
+            self.params, self.loader, eval_kwargs,
+            use_gen_sent=opt.rank_on_gen_captions)
+        self.val_result_history[self.iteration] = {
+            "loss": val_loss, "lang_stats": lang_stats,
+            "predictions": predictions}
+
+        current_score, current_score_vse = self._current_scores(
+            lang_stats, val_loss)
+        best_flag = self.best_val_score is None or \
+            current_score > self.best_val_score
+        if best_flag:
+            self.best_val_score = current_score
+        best_flag_vse = self.best_val_score_vse is None or \
+            current_score_vse > self.best_val_score_vse
+        if best_flag_vse:
+            self.best_val_score_vse = current_score_vse
+
+        self.ckpt.save_model(self.params, self.iteration)
+        self.ckpt.save_optimizers(self.optim)
+        infos = self.infos
+        infos.update({"iter": self.iteration, "epoch": self.epoch,
+                      "iterators": self.loader.iterators,
+                      "split_ix": self.loader.split_ix,
+                      "best_val_score": self.best_val_score,
+                      "best_val_score_vse": self.best_val_score_vse,
+                      "opt": self.opt, "vocab": self.loader.get_vocab(),
+                      "gumbel_temp": self.gumbel_temp})
+        histories = self.histories
+        histories.update({"val_result_history": self.val_result_history,
+                          "loss_history": self.loss_history,
+                          "lr_history": self.lr_history,
+                          "ss_prob_history": self.ss_prob_history})
+        self.ckpt.save_infos(infos, self.iteration)
+        self.ckpt.save_histories(histories)
+        if best_flag:
+            self.ckpt.save_best(self.params)
+            self.ckpt.save_best_infos(infos)
+        if best_flag_vse:
+            self.ckpt.save_best(self.params, vse=True)
+            self.ckpt.save_best_infos(infos, vse=True)
+        return val_loss, lang_stats
+
+    def _current_scores(self, lang_stats, val_loss):
+        """ref: train.py:262-282."""
+        opt = self.opt
+        if opt.language_eval == 1:
+            if opt.phase == 1:
+                current = lang_stats.get("val", {}).get("CIDEr", 0)
+            else:
+                current = lang_stats.get("CIDEr", 0)
+        else:
+            current = 0 if opt.phase == 1 else -val_loss.get("loss_cap", 0.0)
+        vse_score = val_loss.get(opt.vse_eval_criterion, 0) * 100
+        return current, vse_score
+
+    # -- full loop (ref: train.py:473-562) --------------------------------------
+    def train(self, max_iterations=None):
+        opt = self.opt
+        while True:
+            start = time.time()
+            loss_dict, turn, data = self.train_iteration()
+            if self.verbose:
+                dur = time.time() - start
+                msg = " ".join(f"{k} = {round(v, 2)}"
+                               for k, v in sorted(loss_dict.items()))
+                print(f"iter {self.iteration} (epoch {self.epoch}) [{turn}] "
+                      f"{msg} time/batch = {dur:.2f}s")
+            if self.iteration % opt.losses_log_every == 0:
+                self.loss_history[self.iteration] = loss_dict["loss"]
+                self.lr_history[self.iteration] = opt.current_lr
+                self.ss_prob_history[self.iteration] = opt.ss_prob
+            if self.iteration % opt.save_checkpoint_every == 0 or \
+                    opt.start_with_checkpoint:
+                self.checkpoint_operations()
+                opt.start_with_checkpoint = 0
+            if max_iterations is not None and \
+                    self.iteration >= max_iterations:
+                break
+            if self.epoch >= opt.max_epochs != -1:
+                if self.verbose:
+                    print("Finished training")
+                break
+        return self.params
+
+
+def train(opt, dataset=None, max_iterations=None):
+    """Top-level entry (ref: train.py:473)."""
+    trainer = Trainer(opt, dataset=dataset)
+    trainer.train(max_iterations=max_iterations)
+    return trainer

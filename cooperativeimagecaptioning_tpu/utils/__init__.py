@@ -1,0 +1,3 @@
+"""Shared utilities."""
+
+from cooperativeimagecaptioning_tpu.utils.text import decode_sequence  # noqa: F401

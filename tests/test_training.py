@@ -1,0 +1,176 @@
+"""End-to-end training smoke + behavior tests on synthetic data.
+
+Covers all reference training configurations (BASELINE.json configs / run_*.sh):
+  phase 1 listener pretrain, phase 2 speaker MLE, joint gumbel / gumbel_softmax /
+  multinomial / multinomial_soft / reinforce (+cider), and the alternating-turn
+  gradient-isolation invariant the reference audits at runtime
+  (AlternatingJointModel.py:571-686)."""
+
+import numpy as np
+import pytest
+import jax
+
+from cooperativeimagecaptioning_tpu.config import Options
+from cooperativeimagecaptioning_tpu.data.sources import SyntheticDataset
+from cooperativeimagecaptioning_tpu.training.loop import Trainer
+
+
+def tiny_opt(**kw):
+    base = dict(
+        caption_model="att2in2", vse_model="fc", batch_size=4, seq_per_img=1,
+        rnn_size=16, input_encoding_size=12, att_hid_size=8, vse_embed_size=16,
+        fc_feat_size=20, att_feat_size=20, drop_prob_lm=0.1,
+        learning_rate=1e-3, grad_clip=0.1, checkpoint_path="/tmp/cic_test_ckpt",
+        save_checkpoint_every=10_000, losses_log_every=5, language_eval=0,
+        rank_eval=0, max_epochs=-1, cached_tokens="corpus")
+    base.update(kw)
+    return Options(**base)
+
+
+def tiny_dataset(opt, **kw):
+    return SyntheticDataset(
+        num_images=16, vocab_size=25, seq_length=8,
+        fc_feat_size=opt.fc_feat_size, att_feat_size=opt.att_feat_size,
+        max_K=6, **kw)
+
+
+def leaves_changed(a, b):
+    fa = jax.tree.leaves(a)
+    fb = jax.tree.leaves(b)
+    return [bool(np.any(np.asarray(x) != np.asarray(y)))
+            for x, y in zip(fa, fb)]
+
+
+def run_iters(opt, n=3, **ds_kw):
+    tr = Trainer(opt, dataset=tiny_dataset(opt, **ds_kw), verbose=False)
+    losses = []
+    for _ in range(n):
+        loss_dict, turn, _ = tr.train_iteration()
+        losses.append(loss_dict)
+        assert np.isfinite(loss_dict["loss"])
+    return tr, losses
+
+
+def test_phase1_listener_pretrain():
+    """run_fc_con.sh: vse only, caption frozen (caption_loss_weight 0)."""
+    opt = tiny_opt(caption_model="fc", phase=1, vse_loss_weight=1,
+                   caption_loss_weight=0)
+    tr, losses = run_iters(opt)
+    assert "loss_vse" in losses[0]
+    assert "loss_cap" not in losses[0]
+
+
+def test_phase2_speaker_mle():
+    """run_att.sh: pure MLE."""
+    opt = tiny_opt(phase=2, vse_loss_weight=0, caption_loss_weight=1)
+    before = jax.tree.map(np.asarray, {"l": None})  # placeholder
+    tr, losses = run_iters(opt)
+    assert "loss_cap" in losses[0]
+    assert "loss_vse" not in losses[0]
+
+
+def test_phase2_loss_decreases():
+    opt = tiny_opt(phase=2, vse_loss_weight=0, caption_loss_weight=1,
+                   learning_rate=5e-3, drop_prob_lm=0.0)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    first = tr.train_iteration()[0]["loss_cap"]
+    for _ in range(30):
+        last = tr.train_iteration()[0]["loss_cap"]
+    assert last < first
+
+
+@pytest.mark.parametrize("mode", ["gumbel", "gumbel_softmax", "multinomial",
+                                  "multinomial_soft"])
+def test_joint_st_modes(mode):
+    """run_joint.sh -o <mode>: alternating, disc + cider composition."""
+    opt = tiny_opt(is_alternating=1, alternating_turn=["speaker", "listener"],
+                   retrieval_reward=mode, retrieval_reward_weight=0.1,
+                   cider_optimization=0.9, caption_loss_weight=1,
+                   vse_loss_weight=0.1, phase=3)
+    tr, losses = run_iters(opt, n=2)
+    assert "retrieval_loss" in losses[0]
+    assert "loss_cider" in losses[0]
+    assert "avg_reward" in losses[0]
+    # non-reinforce alternating collapses turns to speaker only
+    # (optimizer.py:90-96)
+    assert tr.turns == ["speaker"]
+
+
+def test_joint_reinforce_alternating_isolation():
+    """reinforce: speaker turn must not move listener params and vice versa
+    (the invariant the reference audits in changeModelUpdateStatus)."""
+    opt = tiny_opt(is_alternating=1, alternating_turn=["speaker", "listener"],
+                   retrieval_reward="reinforce", retrieval_reward_weight=0.8,
+                   cider_optimization=0.2, caption_loss_weight=1,
+                   vse_loss_weight=0.1, reinforce_baseline_type="greedy",
+                   phase=3)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    assert tr.turns == ["speaker", "listener"]
+
+    p0 = jax.tree.map(np.asarray, tr.params)
+    _, turn, _ = tr.train_iteration()  # speaker turn
+    assert turn == "speaker"
+    p1 = jax.tree.map(np.asarray, tr.params)
+    assert any(leaves_changed(p0["speaker"], p1["speaker"]))
+    assert not any(leaves_changed(p0["listener"], p1["listener"]))
+
+    _, turn, _ = tr.train_iteration()  # listener turn
+    assert turn == "listener"
+    p2 = jax.tree.map(np.asarray, tr.params)
+    assert not any(leaves_changed(p1["speaker"], p2["speaker"]))
+    assert any(leaves_changed(p1["listener"], p2["listener"]))
+
+
+def test_joint_gumbel_updates_both_agents():
+    """Non-reinforce: both optimizers step on the (collapsed) speaker turn."""
+    opt = tiny_opt(is_alternating=1, alternating_turn=["speaker", "listener"],
+                   retrieval_reward="gumbel", retrieval_reward_weight=1.0,
+                   cider_optimization=0, caption_loss_weight=1,
+                   vse_loss_weight=0.0, phase=3)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    p0 = jax.tree.map(np.asarray, tr.params)
+    tr.train_iteration()
+    p1 = jax.tree.map(np.asarray, tr.params)
+    assert any(leaves_changed(p0["speaker"], p1["speaker"]))
+    assert any(leaves_changed(p0["listener"], p1["listener"]))
+
+
+def test_reinforce_baseline_types():
+    for bl in ["greedy", "gt", "no"]:
+        opt = tiny_opt(retrieval_reward="reinforce", retrieval_reward_weight=1,
+                       reinforce_baseline_type=bl, caption_loss_weight=1,
+                       vse_loss_weight=0, phase=3)
+        tr, losses = run_iters(opt, n=1)
+        assert "retrieval_sc_loss" in losses[0]
+
+
+def test_share_embed_stays_identical():
+    """Shared word embedding must remain bit-identical after optimizer steps
+    (ref: train.py:132-140 check_equal_embed_weights)."""
+    opt = tiny_opt(share_embed=1, retrieval_reward="gumbel",
+                   retrieval_reward_weight=0.5, is_alternating=1,
+                   alternating_turn=["speaker", "listener"],
+                   caption_loss_weight=1, vse_loss_weight=0.1, phase=3)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    assert "embed" not in tr.params["speaker"]  # stored once, injected
+    tr.train_iteration()
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    opt = tiny_opt(phase=2, caption_loss_weight=1, vse_loss_weight=0,
+                   checkpoint_path=str(tmp_path), id="t1",
+                   save_checkpoint_every=2, rank_eval=0, val_images_use=4)
+    ds = tiny_dataset(opt)
+    tr = Trainer(opt, dataset=ds, verbose=False)
+    for _ in range(2):
+        tr.train_iteration()
+    tr.checkpoint_operations()
+    p_saved = jax.tree.map(np.asarray, tr.params)
+    it_saved = tr.iteration
+
+    opt2 = tiny_opt(phase=2, caption_loss_weight=1, vse_loss_weight=0,
+                    checkpoint_path=str(tmp_path), id="t1",
+                    start_from=str(tmp_path))
+    tr2 = Trainer(opt2, dataset=ds, verbose=False)
+    assert tr2.iteration == it_saved
+    assert all(not c for c in leaves_changed(p_saved, tr2.params))
