@@ -76,6 +76,9 @@ class FileDataset:
         self.fc_source = open_feature_source(opt.input_fc_dir, ".npy")
         self.att_source = open_feature_source(opt.input_att_dir, ".npz")
         self.dataset_name = getattr(opt, "dataset", "coco")
+        # GT captions per image used by retrieval ranking (ref eval_utils.py:295)
+        self.gt_caps_per_image = 5 if self.dataset_name in (
+            "coco", "flickr8k", "flickr30k") else 1
 
     def num_images(self):
         return len(self.info["images"])
@@ -112,6 +115,7 @@ class SyntheticDataset:
         self.seq_length = seq_length
         self.ix_to_word = {str(i): f"w{i}" for i in range(1, vocab_size + 1)}
         self.dataset_name = "synthetic"
+        self.gt_caps_per_image = caps_per_image
         self._fc = rng.randn(num_images, fc_feat_size).astype(np.float32)
         self._K = (rng.randint(max(2, max_K // 2), max_K + 1, num_images)
                    if variable_K else np.full(num_images, max_K))

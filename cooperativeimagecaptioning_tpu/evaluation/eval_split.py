@@ -194,8 +194,8 @@ class Evaluator:
                                                  opt.val_images_use))
         split = ek.get("split", "val")
         saved_spi = loader.seq_per_img
-        loader.seq_per_img = 1 if use_gen_sent or \
-            loader.dataset not in ("coco", "flickr8k", "flickr30k") else 5
+        gt_cpi = getattr(loader.ds, "gt_caps_per_image", 5)
+        loader.seq_per_img = 1 if use_gen_sent else gt_cpi
         loader.reset_iterator(split)
         img_embs, cap_embs, images_data = [], [], []
         n = 0
@@ -242,8 +242,7 @@ class Evaluator:
             return {}
         img, cap, images_data = self.encode_data(params, loader, eval_kwargs,
                                                  use_gen_sent)
-        cpi = 1 if use_gen_sent or loader.dataset not in \
-            ("coco", "flickr8k", "flickr30k") else 5
+        cpi = 1 if use_gen_sent else getattr(loader.ds, "gt_caps_per_image", 5)
         return retrieval.rank_metrics(img, cap, images_data,
                                       use_gen_sent=use_gen_sent,
                                       fold5=(eval_kwargs or {}).get("fold5", 0),

@@ -13,18 +13,22 @@ from __future__ import annotations
 import numpy as np
 
 
-def i2t(images, captions, npts=None, return_ranks=False):
-    """Images [5N, K] (row-replicated), captions [5N, K] (ref :545-595)."""
+def i2t(images, captions, npts=None, return_ranks=False, caps_per_image=5):
+    """Images [cpi*N, K] (row-replicated), captions [cpi*N, K] (ref :545-595).
+
+    The reference hardcodes 5 captions/image (it only ranks COCO/Flickr);
+    caps_per_image generalizes to other datasets."""
+    cpi = caps_per_image
     if npts is None:
-        npts = images.shape[0] // 5
+        npts = images.shape[0] // cpi
     ranks = np.zeros(npts)
     top1 = np.zeros(npts)
     for index in range(npts):
-        im = images[5 * index].reshape(1, -1)
+        im = images[cpi * index].reshape(1, -1)
         d = (im @ captions.T).flatten()
         inds = np.argsort(d)[::-1]
         rank = 1e20
-        for i in range(5 * index, 5 * index + 5):
+        for i in range(cpi * index, cpi * index + cpi):
             tmp = np.where(inds == i)[0][0]
             rank = min(rank, tmp)
         ranks[index] = rank
@@ -91,7 +95,8 @@ def rank_metrics(img_embs, cap_embs, images_data=None, use_gen_sent=False,
     cpi = caps_per_image or (1 if use_gen_sent else 5)
     if not use_gen_sent:
         if not fold5:
-            r, _ = i2t(img_embs, cap_embs, return_ranks=True)
+            r, _ = i2t(img_embs, cap_embs, return_ranks=True,
+                       caps_per_image=cpi)
             ri, _, images_ranking = t2i(img_embs, cap_embs, images_data,
                                         return_ranks=True,
                                         caps_per_image=cpi)

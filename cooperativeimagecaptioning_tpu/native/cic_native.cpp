@@ -1,0 +1,348 @@
+// cic_native: C++ replacements for the reference's Java metric tools
+// (SURVEY.md §2.4): PTB-style tokenizer (stanford-corenlp PTBTokenizer jar,
+// ref: ptbtokenizer.py) and METEOR scorer (meteor-1.5.jar, ref: meteor.py),
+// plus a Porter stemmer.  Exposed via a C ABI consumed by ctypes
+// (native/bindings.py).  The Python modules in metrics/ are the behavioral
+// specification; both implementations must agree bit-for-bit on tokens and to
+// float tolerance on scores (tests/test_native.py).
+//
+// Line protocols:
+//   tokenizer: '\n'-separated captions in, '\n'-separated token strings out
+//   meteor:    hypothesis '\x02' ref1 '\x01' ref2 ... in, double out
+
+#include <algorithm>
+#include <cstring>
+#include <regex>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Porter stemmer (classic 1980 algorithm; mirrors metrics/porter.py)
+// ---------------------------------------------------------------------------
+
+bool is_cons(const std::string& w, int i) {
+  char c = w[i];
+  if (c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u') return false;
+  if (c == 'y') return i == 0 ? true : !is_cons(w, i - 1);
+  return true;
+}
+
+int measure(const std::string& w) {
+  int n = 0, i = 0, L = (int)w.size();
+  while (i < L && is_cons(w, i)) i++;
+  while (i < L) {
+    while (i < L && !is_cons(w, i)) i++;
+    if (i >= L) break;
+    n++;
+    while (i < L && is_cons(w, i)) i++;
+  }
+  return n;
+}
+
+bool has_vowel(const std::string& w) {
+  for (int i = 0; i < (int)w.size(); i++)
+    if (!is_cons(w, i)) return true;
+  return false;
+}
+
+bool ends_double_cons(const std::string& w) {
+  int L = (int)w.size();
+  return L >= 2 && w[L - 1] == w[L - 2] && is_cons(w, L - 1);
+}
+
+bool cvc(const std::string& w) {
+  int L = (int)w.size();
+  if (L < 3) return false;
+  if (!(is_cons(w, L - 3) && !is_cons(w, L - 2) && is_cons(w, L - 1)))
+    return false;
+  char c = w[L - 1];
+  return c != 'w' && c != 'x' && c != 'y';
+}
+
+bool ends_with(const std::string& w, const std::string& s) {
+  return w.size() >= s.size() && w.compare(w.size() - s.size(), s.size(), s) == 0;
+}
+
+std::string chop(const std::string& w, size_t n) { return w.substr(0, w.size() - n); }
+
+std::string porter_stem(const std::string& word) {
+  std::string w;
+  for (char c : word) w += (char)std::tolower((unsigned char)c);
+  if (w.size() <= 2) return w;
+  // step 1a
+  if (ends_with(w, "sses")) w = chop(w, 2);
+  else if (ends_with(w, "ies")) w = chop(w, 2);
+  else if (ends_with(w, "ss")) {}
+  else if (ends_with(w, "s")) w = chop(w, 1);
+  // step 1b
+  bool flag = false;
+  if (ends_with(w, "eed")) {
+    if (measure(chop(w, 3)) > 0) w = chop(w, 1);
+  } else if (ends_with(w, "ed") && has_vowel(chop(w, 2))) {
+    w = chop(w, 2); flag = true;
+  } else if (ends_with(w, "ing") && has_vowel(chop(w, 3))) {
+    w = chop(w, 3); flag = true;
+  }
+  if (flag) {
+    if (ends_with(w, "at") || ends_with(w, "bl") || ends_with(w, "iz")) w += "e";
+    else if (ends_double_cons(w) && !ends_with(w, "l") && !ends_with(w, "s") &&
+             !ends_with(w, "z")) w = chop(w, 1);
+    else if (measure(w) == 1 && cvc(w)) w += "e";
+  }
+  // step 1c
+  if (ends_with(w, "y") && has_vowel(chop(w, 1))) w = chop(w, 1) + "i";
+  // step 2
+  static const std::pair<const char*, const char*> step2[] = {
+      {"ational", "ate"}, {"tional", "tion"}, {"enci", "ence"},
+      {"anci", "ance"}, {"izer", "ize"}, {"abli", "able"}, {"alli", "al"},
+      {"entli", "ent"}, {"eli", "e"}, {"ousli", "ous"}, {"ization", "ize"},
+      {"ation", "ate"}, {"ator", "ate"}, {"alism", "al"}, {"iveness", "ive"},
+      {"fulness", "ful"}, {"ousness", "ous"}, {"aliti", "al"},
+      {"iviti", "ive"}, {"biliti", "ble"}};
+  for (auto& p : step2) {
+    if (ends_with(w, p.first)) {
+      if (measure(chop(w, strlen(p.first))) > 0)
+        w = chop(w, strlen(p.first)) + p.second;
+      break;
+    }
+  }
+  // step 3
+  static const std::pair<const char*, const char*> step3[] = {
+      {"icate", "ic"}, {"ative", ""}, {"alize", "al"}, {"iciti", "ic"},
+      {"ical", "ic"}, {"ful", ""}, {"ness", ""}};
+  for (auto& p : step3) {
+    if (ends_with(w, p.first)) {
+      if (measure(chop(w, strlen(p.first))) > 0)
+        w = chop(w, strlen(p.first)) + p.second;
+      break;
+    }
+  }
+  // step 4 (longest-suffix-first like the python implementation)
+  static const char* step4[] = {"ement", "ance", "ence", "able", "ible",
+                                "ment", "ent", "ism", "ate", "iti", "ous",
+                                "ive", "ize", "al", "er", "ic", "ant", "ou"};
+  bool matched = false;
+  for (auto* suf : step4) {
+    if (ends_with(w, suf)) {
+      std::string base = chop(w, strlen(suf));
+      if (measure(base) > 1) w = base;
+      matched = true;
+      break;
+    }
+  }
+  if (!matched && ends_with(w, "ion")) {
+    std::string base = chop(w, 3);
+    if (measure(base) > 1 && (ends_with(base, "s") || ends_with(base, "t")))
+      w = base;
+  }
+  // step 5a
+  if (ends_with(w, "e")) {
+    std::string base = chop(w, 1);
+    int m = measure(base);
+    if (m > 1 || (m == 1 && !cvc(base))) w = base;
+  }
+  // step 5b
+  if (measure(w) > 1 && ends_double_cons(w) && ends_with(w, "l")) w = chop(w, 1);
+  return w;
+}
+
+// ---------------------------------------------------------------------------
+// PTB tokenizer (mirrors metrics/tokenizer.py rules + punctuation strip)
+// ---------------------------------------------------------------------------
+
+struct Rule { std::regex pat; std::string repl; };
+
+const std::vector<Rule>& rules() {
+  static std::vector<Rule> r = [] {
+    std::vector<Rule> v;
+    auto add = [&](const char* p, const char* s) {
+      v.push_back({std::regex(p), s});
+    };
+    add("^\"", "`` ");
+    add("([ (\\[{<])\"", "$1 `` ");
+    add("\\.\\.\\.", " ... ");
+    add("([,;:@#$%&])", " $1 ");
+    add("([^.])(\\.)([\\]\\)}>\"']*)\\s*$", "$1 $2$3 ");
+    add("([?!])", " $1 ");
+    add("([\\]\\[(){}<>])", " $1 ");
+    add("\\(", "-LRB-");
+    add("\\)", "-RRB-");
+    add("\\[", "-LSB-");
+    add("\\]", "-RSB-");
+    add("\\{", "-LCB-");
+    add("\\}", "-RCB-");
+    add("--", " -- ");
+    add("\"", " '' ");
+    add("([^'])' ", "$1 ' ");
+    add("'([sSmMdD]) ", " '$1 ");
+    add("('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) ", " $1 ");
+    return v;
+  }();
+  return r;
+}
+
+const std::vector<std::string>& punctuations() {
+  static std::vector<std::string> p = {
+      "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-", ".", "?",
+      "!", ",", ":", "-", "--", "...", ";"};
+  return p;
+}
+
+std::vector<std::string> split_ws(const std::string& s) {
+  std::vector<std::string> out;
+  size_t i = 0;
+  while (i < s.size()) {
+    while (i < s.size() && std::isspace((unsigned char)s[i])) i++;
+    size_t j = i;
+    while (j < s.size() && !std::isspace((unsigned char)s[j])) j++;
+    if (j > i) out.push_back(s.substr(i, j - i));
+    i = j;
+  }
+  return out;
+}
+
+std::string strip(const std::string& s) {
+  size_t a = 0, b = s.size();
+  while (a < b && std::isspace((unsigned char)s[a])) a++;
+  while (b > a && std::isspace((unsigned char)s[b - 1])) b--;
+  return s.substr(a, b - a);
+}
+
+std::string tokenize_line(const std::string& line) {
+  std::string s;
+  for (char c : line) s += (char)std::tolower((unsigned char)c);
+  s = " " + strip(s) + " ";
+  for (const auto& r : rules()) s = std::regex_replace(s, r.pat, r.repl);
+  std::string out;
+  const auto& punct = punctuations();
+  for (const auto& tok : split_ws(s)) {
+    if (std::find(punct.begin(), punct.end(), tok) != punct.end()) continue;
+    if (!out.empty()) out += ' ';
+    out += tok;
+  }
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// METEOR (mirrors metrics/meteor.py: exact+stem stages, classic parameters)
+// ---------------------------------------------------------------------------
+
+constexpr double ALPHA = 0.9, BETA = 3.0, GAMMA = 0.5;
+constexpr double W_EXACT = 1.0, W_STEM = 0.6;
+
+struct Match { int hi, ri; double w; };
+
+void run_stage(const std::vector<std::string>& hyp,
+               const std::vector<std::string>& ref,
+               std::vector<bool>& hyp_taken, std::vector<bool>& ref_taken,
+               std::vector<Match>& matches, bool use_stem, double weight) {
+  std::unordered_map<std::string, std::vector<int>> ref_keys;
+  for (int ri = 0; ri < (int)ref.size(); ri++) {
+    if (!ref_taken[ri])
+      ref_keys[use_stem ? porter_stem(ref[ri]) : ref[ri]].push_back(ri);
+  }
+  int last_ri = -1;
+  for (int hi = 0; hi < (int)hyp.size(); hi++) {
+    if (hyp_taken[hi]) continue;
+    auto it = ref_keys.find(use_stem ? porter_stem(hyp[hi]) : hyp[hi]);
+    if (it == ref_keys.end()) continue;
+    int pick = -1, fallback = -1;
+    for (int ri : it->second) {
+      if (ref_taken[ri]) continue;
+      if (fallback < 0) fallback = ri;
+      if (ri > last_ri) { pick = ri; break; }
+    }
+    if (pick < 0) pick = fallback;
+    if (pick < 0) continue;
+    hyp_taken[hi] = true;
+    ref_taken[pick] = true;
+    matches.push_back({hi, pick, weight});
+    last_ri = pick;
+  }
+}
+
+double sentence_meteor(const std::vector<std::string>& hyp,
+                       const std::vector<std::vector<std::string>>& refs) {
+  double best = 0.0;
+  for (const auto& ref : refs) {
+    if (hyp.empty() || ref.empty()) continue;
+    std::vector<bool> ht(hyp.size(), false), rt(ref.size(), false);
+    std::vector<Match> matches;
+    run_stage(hyp, ref, ht, rt, matches, false, W_EXACT);
+    run_stage(hyp, ref, ht, rt, matches, true, W_STEM);
+    int m = (int)matches.size();
+    if (m == 0) continue;
+    double wsum = 0;
+    for (auto& mt : matches) wsum += mt.w;
+    double p = wsum / hyp.size(), r = wsum / ref.size();
+    if (p == 0 || r == 0) continue;
+    double fmean = p * r / (ALPHA * p + (1 - ALPHA) * r);
+    std::sort(matches.begin(), matches.end(),
+              [](const Match& a, const Match& b) {
+                return a.hi < b.hi || (a.hi == b.hi && a.ri < b.ri);
+              });
+    int chunks = 1;
+    for (size_t i = 1; i < matches.size(); i++) {
+      if (!(matches[i].hi == matches[i - 1].hi + 1 &&
+            matches[i].ri == matches[i - 1].ri + 1))
+        chunks++;
+    }
+    double frag = (double)chunks / m;
+    double pen = GAMMA * frag * frag * frag;  // frag^BETA, BETA = 3
+    double score = (1 - pen) * fmean;
+    best = std::max(best, score);
+  }
+  return best;
+}
+
+thread_local std::string g_out;
+
+}  // namespace
+
+extern "C" {
+
+// Tokenize '\n'-separated captions; returns pointer valid until the next call
+// on the same thread.
+const char* cic_tokenize(const char* input) {
+  g_out.clear();
+  const char* p = input;
+  while (*p) {
+    const char* nl = strchr(p, '\n');
+    size_t len = nl ? (size_t)(nl - p) : strlen(p);
+    g_out += tokenize_line(std::string(p, len));
+    g_out += '\n';
+    if (!nl) break;
+    p = nl + 1;
+  }
+  if (!g_out.empty() && g_out.back() == '\n') g_out.pop_back();
+  return g_out.c_str();
+}
+
+// METEOR for one segment: hyp '\x02' ref1 '\x01' ref2 ...
+double cic_meteor(const char* payload) {
+  const char* sep = strchr(payload, '\x02');
+  if (!sep) return 0.0;
+  std::string hyp(payload, sep - payload);
+  std::vector<std::vector<std::string>> refs;
+  const char* p = sep + 1;
+  while (*p) {
+    const char* e = strchr(p, '\x01');
+    size_t len = e ? (size_t)(e - p) : strlen(p);
+    refs.push_back(split_ws(std::string(p, len)));
+    if (!e) break;
+    p = e + 1;
+  }
+  return sentence_meteor(split_ws(hyp), refs);
+}
+
+const char* cic_porter_stem(const char* word) {
+  g_out = porter_stem(word);
+  return g_out.c_str();
+}
+
+int cic_version() { return 1; }
+
+}  // extern "C"

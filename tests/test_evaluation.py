@@ -1,0 +1,94 @@
+"""End-to-end evaluation stack on synthetic data: eval_split with language and
+rank metrics, retrieval math sanity, beam-size plumbing."""
+
+import numpy as np
+import jax
+
+from cooperativeimagecaptioning_tpu.config import Options
+from cooperativeimagecaptioning_tpu.data import DataLoader
+from cooperativeimagecaptioning_tpu.data.sources import SyntheticDataset
+from cooperativeimagecaptioning_tpu.evaluation.eval_split import Evaluator
+from cooperativeimagecaptioning_tpu.evaluation import retrieval
+from cooperativeimagecaptioning_tpu.training import joint
+
+
+def eval_opt(tmp_path, **kw):
+    base = dict(
+        caption_model="att2in2", vse_model="fc", batch_size=4, seq_per_img=1,
+        rnn_size=16, input_encoding_size=12, att_hid_size=8, vse_embed_size=16,
+        fc_feat_size=20, att_feat_size=20, drop_prob_lm=0.0,
+        checkpoint_path=str(tmp_path), language_eval=1, rank_eval=1,
+        val_images_use=-1, beam_size=1, id="evt", use_att=True,
+        caption_loss_weight=1, vse_loss_weight=0.1)
+    base.update(kw)
+    return Options(**base)
+
+
+def build(tmp_path, **kw):
+    opt = eval_opt(tmp_path, **kw)
+    ds = SyntheticDataset(num_images=20, vocab_size=25, seq_length=8,
+                          fc_feat_size=20, att_feat_size=20, max_K=6)
+    loader = DataLoader(opt, dataset=ds)
+    opt.vocab_size = loader.vocab_size
+    opt.seq_length = loader.seq_length
+    params = joint.init_params(jax.random.PRNGKey(0), opt)
+    return opt, loader, params
+
+
+def test_eval_split_full(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    opt, loader, params = build(tmp_path)
+    ev = Evaluator(opt)
+    losses, predictions, lang_stats = ev.eval_split(
+        params, loader, {"split": "val", "num_images": -1})
+    assert "loss_cap" in losses
+    assert "rsum" in losses and np.isfinite(losses["rsum"])
+    assert "CIDEr" in lang_stats
+    val_images = len(loader.split_ix["val"])
+    assert len(predictions) == val_images
+    ids = {p["image_id"] for p in predictions}
+    assert len(ids) == val_images  # deduped, one caption per image
+
+
+def test_eval_split_beam2(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    opt, loader, params = build(tmp_path, language_eval=0, rank_eval=0)
+    ev = Evaluator(opt)
+    losses, preds, _ = ev.eval_split(
+        params, loader, {"split": "val", "beam_size": 2})
+    assert len(preds) == len(loader.split_ix["val"])
+
+
+def test_eval_gen_sent_ranking(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    opt, loader, params = build(tmp_path, language_eval=0, rank_eval=1)
+    ev = Evaluator(opt)
+    ranks = ev.evalrank(params, loader, {"split": "val"}, use_gen_sent=True)
+    assert "t2i_r1" in ranks and "images_ranking" in ranks
+
+
+def test_i2t_t2i_perfect_embeddings():
+    """With identical image/caption embeddings the correct item ranks first."""
+    n = 12
+    rng = np.random.RandomState(0)
+    embs = rng.randn(n, 8)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    img5 = np.repeat(embs, 5, axis=0)
+    cap5 = np.repeat(embs, 5, axis=0)
+    r = retrieval.i2t(img5, cap5)
+    assert r[0] == 100.0  # R@1
+    ri = retrieval.t2i(img5, cap5)
+    assert ri[0] == 100.0
+
+
+def test_encode_data_counts(tmp_path):
+    opt, loader, params = build(tmp_path)
+    ev = Evaluator(opt)
+    img, cap, infos = ev.encode_data(params, loader, {"split": "val"},
+                                     use_gen_sent=False)
+    n_val = len(loader.split_ix["val"])
+    assert img.shape[0] == n_val * 5  # GT mode: 5 captions/image
+    assert cap.shape[0] == n_val * 5
+    img_g, cap_g, _ = ev.encode_data(params, loader, {"split": "val"},
+                                     use_gen_sent=True)
+    assert img_g.shape[0] == n_val

@@ -1,0 +1,55 @@
+"""C++ native library: build + bit-parity with the pure-Python metric tier."""
+
+import numpy as np
+import pytest
+
+from cooperativeimagecaptioning_tpu.native import bindings
+from cooperativeimagecaptioning_tpu.metrics import meteor, porter, tokenizer
+
+pytestmark = pytest.mark.skipif(not bindings.available(),
+                                reason="native build unavailable")
+
+WORDS = ["caresses", "flies", "dies", "mules", "denied", "died", "agreed",
+         "owned", "humbled", "sized", "meetings", "stating", "siezing",
+         "itemization", "sensational", "traditional", "reference", "colonizer",
+         "plotted", "riding", "rides", "horse", "happiness", "relational",
+         "conditional", "rational", "valency", "hesitancy", "digitizer",
+         "conformably", "radically", "differently", "vilely", "analogously"]
+
+
+def test_porter_parity():
+    for w in WORDS:
+        assert bindings.porter_stem(w) == porter.stem(w), w
+
+
+def test_tokenizer_parity():
+    caps = {
+        0: [{"caption": "A man, riding; on the dog's back!"}],
+        1: [{"caption": "Hello... (world)? It isn't -- really \"fine\"."}],
+        2: [{"caption": "Two dogs play:  in the grass."}],
+    }
+    # force the python fallback for the expectation
+    want = {}
+    for k, cs in caps.items():
+        want[k] = [" ".join(
+            t for t in tokenizer.ptb_tokenize_line(c["caption"])
+            if t not in tokenizer.PUNCTUATIONS) for c in cs]
+    got = bindings.ptb_tokenize(caps)
+    assert got == want
+
+
+def test_meteor_parity():
+    rng = np.random.RandomState(0)
+    words = ["a", "man", "rides", "riding", "dog", "park", "the", "on",
+             "grass", "sits"]
+    gts, res = {}, {}
+    for i in range(12):
+        gts[i] = [" ".join(rng.choice(words, rng.randint(3, 9)))
+                  for _ in range(3)]
+        res[i] = [" ".join(rng.choice(words, rng.randint(3, 9)))]
+    # compute python scores directly (bypassing the native dispatch), using the
+    # scorer's key=str id ordering
+    per_py = np.array([meteor.sentence_meteor(res[i][0], gts[i])
+                       for i in sorted(gts, key=str)])
+    m_native, per_native = bindings.meteor(gts, res)
+    np.testing.assert_allclose(per_native, per_py, atol=1e-12)
