@@ -1,0 +1,147 @@
+"""Post-training results harvesting (ref: plots_general_curve.py).
+
+Scans a run directory's histories for the best checkpoint per selection criterion
+(val CIDEr / BLEU-4 / t2i-R@10, ref :289-332), prunes all non-best per-iteration
+model files (ref remove_unnecessary_models :18-41), re-evaluates the selected
+checkpoints on the test split (ref eval_test :387-456), and writes:
+  <run>/val_dict.pkl, <run>/test_dict.pkl, <json_dir>/<run>.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import numpy as np
+
+CRITERIA = ("cider", "bleu4", "t2i_r10")
+
+
+def _histories_path(run_dir, run_id):
+    p = os.path.join(run_dir, f"histories_{run_id}.pkl")
+    if os.path.isfile(p):
+        return p
+    cands = [f for f in os.listdir(run_dir) if f.startswith("histories_")
+             and f.endswith(".pkl")]
+    assert len(cands) == 1, f"ambiguous histories files in {run_dir}: {cands}"
+    return os.path.join(run_dir, cands[0])
+
+
+def create_model_metrics(run_dir, run_id=""):
+    """Best iteration per criterion from the val history (ref :289-332)."""
+    with open(_histories_path(run_dir, run_id), "rb") as f:
+        history = pickle.load(f)
+    metrics = {"iteration": [], "cider_score": [], "bleu4": [], "t2i_r10": []}
+    for it in sorted(history["val_result_history"].keys()):
+        rec = history["val_result_history"][it]
+        lang = rec.get("lang_stats") or {}
+        loss = rec.get("loss") or {}
+        metrics["iteration"].append(it)
+        metrics["cider_score"].append(lang.get("CIDEr", 0.0))
+        metrics["bleu4"].append(lang.get("Bleu_4", 0.0))
+        metrics["t2i_r10"].append(loss.get("t2i_r10", 0.0))
+    best = {"cider": int(np.argmax(metrics["cider_score"])),
+            "bleu4": int(np.argmax(metrics["bleu4"])),
+            "t2i_r10": int(np.argmax(metrics["t2i_r10"]))}
+    metrics["best_iteration_by"] = best
+    metrics["test_models"] = {
+        crit: metrics["iteration"][idx] for crit, idx in best.items()}
+    return metrics
+
+
+def remove_unnecessary_models(metrics, run_dir):
+    """Delete per-iteration model files not selected by any criterion
+    (ref :18-41)."""
+    keep = set(metrics["test_models"].values())
+    for fname in os.listdir(run_dir):
+        is_iter_model = (
+            (fname.startswith("alternatingModel-") or
+             (fname.startswith("model-") and len(fname) > 6 and
+              fname[6].isdigit())) and fname.endswith(".pth"))
+        if not is_iter_model:
+            continue
+        it = fname[fname.find("-") + 1: fname.find(".")]
+        try:
+            if int(it) not in keep:
+                os.remove(os.path.join(run_dir, fname))
+        except ValueError:
+            continue
+    return metrics["test_models"]
+
+
+def eval_test(opt, metrics, run_dir, run_id="", listener=None, split="test",
+              ann_file=None, only_recall=0, dataset=None):
+    """Re-evaluate selected checkpoints on a split (ref :387-456)."""
+    import eval as eval_mod
+    test_dict = {}
+    iter_done = {}
+    kind = "alternatingModel" if getattr(opt, "is_alternating", 0) else "model"
+    for crit, iteration in metrics["test_models"].items():
+        if only_recall and crit in ("cider", "bleu4"):
+            continue
+        if iteration in iter_done:
+            test_dict[crit] = test_dict[iter_done[iteration]]
+            continue
+        model_name = os.path.join(run_dir, f"{kind}-{iteration}.pth")
+        infos_name = os.path.join(run_dir, f"infos_{run_id}.pkl")
+        test_dict[crit] = eval_mod.eval(opt, model_name, infos_name, ann_file,
+                                        listener, split, str(iteration),
+                                        dataset=dataset)
+        iter_done[iteration] = crit
+    return test_dict
+
+
+def create_json(run_dir, run_id, val_metrics, test_dict, opt=None,
+                json_dir=None):
+    """Consolidated per-run metrics json keyed by selection criterion
+    (ref create_json :96-287)."""
+    if json_dir is None:
+        json_dir = os.path.join(os.path.dirname(os.path.abspath(run_dir)),
+                                "json_dir")
+    os.makedirs(json_dir, exist_ok=True)
+    out = {"full_path": os.path.abspath(run_dir),
+           "best_iteration_by": val_metrics["test_models"], "val": {}, "test": {}}
+    for crit, idx in val_metrics["best_iteration_by"].items():
+        out["val"][crit] = {
+            "iteration": val_metrics["iteration"][idx],
+            "cider": val_metrics["cider_score"][idx],
+            "bleu4": val_metrics["bleu4"][idx],
+            "t2i_r10": val_metrics["t2i_r10"][idx]}
+    for crit, result in (test_dict or {}).items():
+        out["test"][crit] = {
+            "lang_stats": result.get("lang_stats"),
+            "loss": {k: v for k, v in result.get("loss", {}).items()
+                     if isinstance(v, (int, float))}}
+    if opt is not None:
+        out["opt"] = {k: v for k, v in vars(opt).items()
+                      if isinstance(v, (int, float, str, bool, list,
+                                        type(None)))}
+    name = os.path.basename(os.path.normpath(run_dir))
+    path = os.path.join(json_dir, f"{name}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, default=str)
+    print(f"json file was created for {name}")
+    return path
+
+
+def create_dicts_and_json_after_training(opt, dataset=None, ann_file=None,
+                                         run_test_eval=True):
+    """ref :459-475 — val/test dict pkls + json report after a joint run."""
+    run_dir = opt.checkpoint_path if not isinstance(opt, str) else opt
+    run_id = getattr(opt, "id", "") if not isinstance(opt, str) else ""
+    metrics = create_model_metrics(run_dir, run_id)
+    remove_unnecessary_models(metrics, run_dir)
+    with open(os.path.join(run_dir, "val_dict.pkl"), "wb") as f:
+        pickle.dump(metrics, f)
+    test_dict = {}
+    if run_test_eval and not isinstance(opt, str):
+        try:
+            test_dict = eval_test(opt, metrics, run_dir, run_id,
+                                  ann_file=ann_file, dataset=dataset)
+        except Exception as e:  # harvesting must not kill a finished run
+            print(f"test re-evaluation skipped: {e}")
+    with open(os.path.join(run_dir, "test_dict.pkl"), "wb") as f:
+        pickle.dump(test_dict, f)
+    return create_json(run_dir, run_id, metrics, test_dict,
+                       opt if not isinstance(opt, str) else None)

@@ -1,0 +1,68 @@
+"""Device mesh + sharding rules.
+
+Axes:
+  data  — batch parallelism (the one dimension this workload genuinely needs:
+          SURVEY.md §2.3; gradients all-reduce over ICI, the listener's in-batch
+          B x B contrastive matrix becomes a sharded matmul + all-gather that
+          GSPMD inserts automatically)
+  model — vocab parallelism for the two vocab-sized matrices (logit [H, V+1] and
+          the embedding table [V+2, D]); optional, size 1 by default.
+
+No hand-written collectives: programs are jitted with NamedSharding constraints
+and XLA's SPMD partitioner places psum/all-gather on the interconnect.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int = 0, n_model: int = 1, devices=None) -> Mesh:
+    """Create a (data, model) mesh; n_data=0 uses all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n_total = len(devices)
+    if n_data == 0:
+        n_data = n_total // n_model
+    used = n_data * n_model
+    arr = np.array(devices[:used]).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard every array's leading (batch) axis over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.device_put(x, sharding)
+    return jax.tree.map(put, batch, is_leaf=lambda x: x is None)
+
+
+def _speaker_rules(path):
+    """PartitionSpec for a speaker param leaf, keyed by its tree path."""
+    names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    if "logit" in names:
+        if names[-1] == "w":
+            return P(None, "model")   # [H, V+1] vocab-sharded
+        return P("model")             # bias [V+1]
+    if names[-1] == "embed" or "embed" in names[-1:]:
+        return P("model", None)       # [V+2, D] vocab-sharded rows
+    return P()
+
+
+def param_shardings(params, mesh: Mesh, vocab_sharded: bool = True):
+    """NamedShardings for the joint param tree (replicated except vocab dims)."""
+    def spec_for(path, leaf):
+        if not vocab_sharded or mesh.shape["model"] == 1:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _speaker_rules(path))
+    return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -1,0 +1,71 @@
+"""Distributed training step: loss + grads + per-agent Adam update in ONE jitted
+program, GSPMD-partitioned over the (data, model) mesh.
+
+This is the multi-chip path (vs training/loop.py's single-chip two-stage driver):
+params live replicated (or vocab-sharded on 'model'), the batch is sharded on
+'data', and XLA inserts the gradient all-reduce and the contrastive-matrix
+all-gathers over ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cooperativeimagecaptioning_tpu import models as model_zoo
+from cooperativeimagecaptioning_tpu.training import joint
+from cooperativeimagecaptioning_tpu.training.optim import (
+    make_tx, agents_to_update)
+
+
+def make_distributed_train_step(opt, turn, mesh, donate=True):
+    """Returns (init_opt_states, step_fn).
+
+    step_fn(params, opt_states, batch, rng, hp, reward)
+        -> (params, opt_states, loss, aux)
+    """
+    modules = {"speaker": model_zoo.setup(opt, opt.caption_model,
+                                          "caption_model")}
+    txs = {}
+
+    def init_opt_states(params):
+        states = {}
+        for agent in params:
+            txs[agent] = make_tx(opt)
+            states[agent] = txs[agent].init(params[agent])
+        return states
+
+    agents = agents_to_update(opt, turn)
+
+    def step(params, opt_states, batch, rng, hp, reward):
+        def loss_of(p):
+            return joint.loss_fn(modules, p, opt, batch, rng, hp, turn,
+                                 reward, train=True)
+        (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        new_params = dict(params)
+        new_states = dict(opt_states)
+        for agent in agents:
+            if agent not in params:
+                continue
+            updates, new_states[agent] = txs[agent].update(
+                grads[agent], opt_states[agent], params[agent])
+            new_params[agent] = jax.tree.map(
+                lambda p, u: p + u, params[agent], updates)
+        return new_params, new_states, loss, aux
+
+    batch_sharding = {
+        "fc_feats": NamedSharding(mesh, P("data")),
+        "att_feats": NamedSharding(mesh, P("data")),
+        "att_masks": NamedSharding(mesh, P("data")),
+        "labels": NamedSharding(mesh, P("data")),
+        "masks": NamedSharding(mesh, P("data")),
+    }
+    repl = NamedSharding(mesh, P())
+    step_jit = jax.jit(
+        step,
+        in_shardings=(repl, repl, batch_sharding, repl, repl,
+                      NamedSharding(mesh, P("data"))),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1) if donate else ())
+    return init_opt_states, step_jit

@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Phase-1 listener pretraining driver (ref: bash_scripts/run_fc_con.sh).
+
+Trains the VSE listener on ground-truth captions with the caption model frozen:
+vse_loss_weight 1, caption_loss_weight 0, rank_eval 1, 30 epochs."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-b", "--batch", type=int, default=128)
+    p.add_argument("--max-epochs", type=int, default=30)
+    p.add_argument("--root-dir", default="runs")
+    p.add_argument("--input-json", default="data/cocotalk.json")
+    p.add_argument("--input-label-h5", default="data/cocotalk_label.h5")
+    p.add_argument("--input-fc-dir", default="data/cocotalk_fc")
+    p.add_argument("--input-att-dir", default="data/cocotalk_att")
+    p.add_argument("-I", "--dataset", default="coco")
+    args = p.parse_args(argv)
+
+    from cooperativeimagecaptioning_tpu.config import Options
+    from cooperativeimagecaptioning_tpu.training.loop import train
+
+    ckpt = os.path.join(args.root_dir, "log_fc_con")
+    os.makedirs(ckpt, exist_ok=True)
+    opt = Options(
+        id="fc_con", caption_model="fc", vse_model="fc", phase=1,
+        vse_loss_weight=1, caption_loss_weight=0, rank_eval=1,
+        language_eval=0, batch_size=args.batch, max_epochs=args.max_epochs,
+        checkpoint_path=ckpt, start_from=ckpt if os.listdir(ckpt) else None,
+        input_json=args.input_json, input_label_h5=args.input_label_h5,
+        input_fc_dir=args.input_fc_dir, input_att_dir=args.input_att_dir,
+        dataset=args.dataset, seq_per_img=5, learning_rate=2e-4,
+        save_checkpoint_every=2500, val_images_use=5000)
+    train(opt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Results-harvesting pipeline: histories scan -> best-checkpoint selection ->
+pruning -> test re-eval -> json report (ref: plots_general_curve.py)."""
+
+import json
+import os
+import pickle
+
+import jax
+
+from cooperativeimagecaptioning_tpu.config import Options
+from cooperativeimagecaptioning_tpu.data.sources import SyntheticDataset
+from cooperativeimagecaptioning_tpu.evaluation import harvest
+from cooperativeimagecaptioning_tpu.training import joint
+from cooperativeimagecaptioning_tpu.training.checkpoint import save_params
+
+
+def fake_run_dir(tmp_path, run_id="run1", iters=(5, 10, 15)):
+    """Materialize a plausible run directory without training."""
+    opt = Options(caption_model="att2in2", vse_model="fc", rnn_size=8,
+                  input_encoding_size=8, att_hid_size=8, vse_embed_size=8,
+                  fc_feat_size=12, att_feat_size=12,
+                  checkpoint_path=str(tmp_path), id=run_id)
+    opt.vocab_size = 10
+    opt.seq_length = 6
+    params = joint.init_params(jax.random.PRNGKey(0), opt)
+    hist = {"val_result_history": {}}
+    ciders = {5: 0.5, 10: 0.9, 15: 0.7}
+    bleus = {5: 0.3, 10: 0.2, 15: 0.4}
+    r10s = {5: 40.0, 10: 20.0, 15: 30.0}
+    for it in iters:
+        save_params(params, os.path.join(tmp_path, f"model-{it}.pth"))
+        hist["val_result_history"][it] = {
+            "lang_stats": {"CIDEr": ciders[it], "Bleu_4": bleus[it]},
+            "loss": {"t2i_r10": r10s[it]},
+            "predictions": []}
+    save_params(params, os.path.join(tmp_path, "model.pth"))
+    with open(os.path.join(tmp_path, f"histories_{run_id}.pkl"), "wb") as f:
+        pickle.dump(hist, f)
+    with open(os.path.join(tmp_path, f"infos_{run_id}.pkl"), "wb") as f:
+        pickle.dump({"opt": opt, "vocab": {}}, f)
+    return opt
+
+
+def test_best_selection_and_pruning(tmp_path):
+    opt = fake_run_dir(tmp_path)
+    metrics = harvest.create_model_metrics(str(tmp_path), "run1")
+    assert metrics["test_models"] == {"cider": 10, "bleu4": 15, "t2i_r10": 5}
+    harvest.remove_unnecessary_models(metrics, str(tmp_path))
+    remaining = sorted(f for f in os.listdir(tmp_path)
+                       if f.startswith("model-"))
+    assert remaining == ["model-10.pth", "model-15.pth", "model-5.pth"]
+    assert os.path.isfile(tmp_path / "model.pth")  # latest untouched
+
+
+def test_json_report(tmp_path):
+    opt = fake_run_dir(tmp_path)
+    path = harvest.create_dicts_and_json_after_training(
+        opt, run_test_eval=False)
+    assert os.path.isfile(tmp_path / "val_dict.pkl")
+    assert os.path.isfile(tmp_path / "test_dict.pkl")
+    with open(path) as f:
+        report = json.load(f)
+    assert report["best_iteration_by"]["cider"] == 10
+    assert report["val"]["cider"]["cider"] == 0.9
