@@ -1,0 +1,119 @@
+"""Feature-extraction pipeline (ref: preprocess/prepro_feats.py).
+
+raw images -> per-image {id}.npy (fc 2048) + {id}.npz (att 14x14x2048), same
+artifacts as the reference.  Redesign: instead of the reference's one-image-at-
+a-time GPU loop (prepro_feats.py:73-105), images are resized on host to a fixed
+resolution, batched, and pushed through one jitted normalize->ResNet->pool
+program.  Pass resize_to=None to reproduce the reference's native-resolution
+behavior exactly (one compile per unique image shape)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cooperativeimagecaptioning_tpu.preprocess import resnet
+
+
+def _to_rgb_float(img):
+    """grayscale fix + [0,1] scaling (ref: prepro_feats.py:80-84)."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=2)
+    return img.astype(np.float32) / 255.0
+
+
+def make_extractor(params, att_size=14):
+    @jax.jit
+    def run(batch):
+        x = (batch - resnet.IMAGENET_MEAN) / resnet.IMAGENET_STD
+        return resnet.features(params, x, att_size)
+    return run
+
+
+def extract_to_dirs(params, images, ids, output_dir, att_size=14,
+                    batch_size=8, resize_to=448):
+    """images: list of uint8 HWC arrays (or callables returning them); ids:
+    matching artifact keys.  Writes <output_dir>_fc/<id>.npy and
+    <output_dir>_att/<id>.npz (ref: prepro_feats.py:88-101)."""
+    dir_fc = output_dir + "_fc"
+    dir_att = output_dir + "_att"
+    os.makedirs(dir_fc, exist_ok=True)
+    os.makedirs(dir_att, exist_ok=True)
+    run = make_extractor(params, att_size)
+    np.random.seed(123)  # determinism pin (ref: prepro_feats.py:64)
+
+    def load(i):
+        img = images[i]() if callable(images[i]) else images[i]
+        img = _to_rgb_float(np.asarray(img))
+        if resize_to is not None and img.shape[:2] != (resize_to, resize_to):
+            img = _resize_bilinear(img, resize_to)
+        return img
+
+    n = len(images)
+    i = 0
+    while i < n:
+        j = min(n, i + batch_size)
+        batch = [load(k) for k in range(i, j)]
+        if resize_to is None:
+            for k, img in zip(range(i, j), batch):
+                fc, att = run(jnp.asarray(img[None]))
+                _write(dir_fc, dir_att, ids[k], fc[0], att[0])
+        else:
+            fc, att = run(jnp.asarray(np.stack(batch)))
+            fc, att = np.asarray(fc), np.asarray(att)
+            for off, k in enumerate(range(i, j)):
+                _write(dir_fc, dir_att, ids[k], fc[off], att[off])
+        i = j
+    return dir_fc, dir_att
+
+
+def _write(dir_fc, dir_att, key, fc, att):
+    np.save(os.path.join(dir_fc, str(key)), np.asarray(fc, np.float32))
+    np.savez_compressed(os.path.join(dir_att, str(key)),
+                        feat=np.asarray(att, np.float32))
+
+
+def _resize_bilinear(img, size):
+    """Host-side bilinear resize to a square (enables fixed-shape batching)."""
+    return np.asarray(jax.image.resize(
+        jnp.asarray(img), (size, size, img.shape[2]), method="bilinear"))
+
+
+def prepro_feats(input_json, images_root, output_dir, model_weights=None,
+                 arch="resnet101", att_size=14, dataset="coco",
+                 batch_size=8, resize_to=448):
+    """CLI-equivalent pipeline (ref: prepro_feats.py:53-105)."""
+    with open(input_json) as f:
+        imgs = json.load(f)["images"]
+    if model_weights:
+        import pickle
+        with open(model_weights, "rb") as f:
+            params = resnet.convert_torch_state_dict(pickle.load(f), arch)
+    else:
+        params = resnet.init_params(jax.random.PRNGKey(0), arch)
+
+    def loader(img):
+        def _load():
+            try:
+                from imageio import imread
+            except ImportError:
+                from PIL import Image
+                imread = lambda p: np.asarray(Image.open(p))
+            if dataset in ("flickr8k", "flickr30k"):
+                path = os.path.join(images_root, img["filename"])
+            else:
+                path = os.path.join(images_root, img.get("filepath", ""),
+                                    img["filename"])
+            return imread(path)
+        return _load
+
+    ids = [img["filename"].split(".")[0]
+           if dataset in ("flickr8k", "flickr30k") else img["cocoid"]
+           for img in imgs]
+    return extract_to_dirs(params, [loader(im) for im in imgs], ids,
+                           output_dir, att_size, batch_size, resize_to)
