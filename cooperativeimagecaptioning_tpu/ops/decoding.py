@@ -192,7 +192,8 @@ def sample(module, params, ctx, seq_length, rng, mode="greedy", temperature=1.0,
             oh = oh * unfinished[:, None].astype(oh.dtype)
             oh = jnp.where(unfinished[:, None], oh, eos_one_hot[None, :])
         else:
-            oh = jnp.zeros((B, vocab_plus2), lp.dtype)
+            # zero-width placeholder: scan still stacks it, but it costs nothing
+            oh = jnp.zeros((B, 0), lp.dtype)
         return unfinished, it_masked, sample_lp, oh
 
     def body(carry, t):

@@ -1,0 +1,159 @@
+"""On-device CIDEr-D self-critical rewards via hashed n-grams.
+
+Performance tier of the reward engine (SURVEY.md §7 step 7): the host tier
+(self_critical.py) serializes IDs to strings and runs the dict-based scorer; this
+tier reproduces the same math fully inside jit so REINFORCE training never leaves
+the device:
+
+  * token sequences follow array_to_str semantics — tokens up to and INCLUDING
+    the first 0 (misc/rewards.py:26-32);
+  * n-grams (n = 1..4) are polynomial rolling hashes mod 2^32 (collision
+    probability ~1e-5 per batch at COCO scale — the host tier stays the
+    correctness oracle);
+  * 'corpus' document frequency reproduces the reference's quirk of counting
+    the 2B-times-expanded ref list (each image's refs appear 2*seq_per_img
+    times, ref_len = log(2B); misc/rewards.py:53-55 + ciderD_scorer.py:204-216);
+  * "length" is the BIGRAM count (eff_len - 1), matching ciderD_scorer.py:143-145;
+  * clipped similarity min(h, r)*r per distinct gram, Gaussian length penalty
+    sigma = 6, mean over n, /n_refs, x10.
+
+Shapes: gen/greedy [B, L]; refs [n_img, R, L] padded with ref_mask [n_img, R].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+HASH_P = jnp.uint32(1_000_003)
+NS = (1, 2, 3, 4)
+SIGMA = 6.0
+
+
+def pad_gts(gts_list, max_refs=None, seq_length=None):
+    """Host helper: list of [n_i, L_i] ref arrays -> (refs [n_img, R, L],
+    ref_mask [n_img, R])."""
+    n_img = len(gts_list)
+    R = max_refs or max(len(g) for g in gts_list)
+    L = seq_length or max(int(np.asarray(g).shape[1]) for g in gts_list)
+    refs = np.zeros((n_img, R, L), np.int32)
+    mask = np.zeros((n_img, R), np.float32)
+    for i, g in enumerate(gts_list):
+        g = np.asarray(g)[:R]
+        refs[i, :len(g), :g.shape[1]] = g
+        mask[i, :len(g)] = 1.0
+    return jnp.asarray(refs), jnp.asarray(mask)
+
+
+def _eff_len(seq):
+    """Length including the terminal 0 (or full length if none)."""
+    L = seq.shape[-1]
+    has_zero = jnp.any(seq == 0, axis=-1)
+    first_zero = jnp.argmax(seq == 0, axis=-1)
+    return jnp.where(has_zero, first_zero + 1, L)
+
+
+def _gram_hashes(seq, n):
+    """[..., L] tokens -> ([..., L] hashes, [..., L] validity) for n-grams
+    starting at each position."""
+    L = seq.shape[-1]
+    t = seq.astype(jnp.uint32)
+    h = jnp.zeros_like(t)
+    for k in range(n):
+        tk = jnp.roll(t, -k, axis=-1) if k else t
+        h = h * HASH_P + tk + jnp.uint32(1)
+    eff = _eff_len(seq)[..., None]
+    pos = jnp.arange(L)
+    valid = (jnp.broadcast_to(pos, seq.shape) + n) <= eff
+    return h, valid.astype(jnp.float32)
+
+
+def ciderd_rewards_device(gen, greedy, refs, ref_mask, seq_per_img=1,
+                          sigma=SIGMA):
+    """Returns (scores [B] = cider(gen)-cider(greedy), cider_gen [B],
+    cider_greedy scalar)."""
+    B, L = gen.shape
+    n_img, R, Lr = refs.shape
+    seqs = jnp.concatenate([gen, greedy], axis=0).astype(jnp.int32)  # [2B, L]
+    B2 = 2 * B
+    img_of = (jnp.arange(B2) % B) // seq_per_img  # (misc/rewards.py:55)
+    my_refs = refs[img_of]                 # [2B, R, Lr]
+    my_rmask = ref_mask[img_of]            # [2B, R]
+    n_refs = jnp.sum(ref_mask, axis=1)[img_of]  # [2B]
+
+    # df expansion factor: each image's ref set appears (2B / n_img) times
+    expand = B2 / n_img
+    ref_len_log = jnp.log(jnp.float32(B2))
+
+    len_h = jnp.maximum(_eff_len(seqs) - 1, 0).astype(jnp.float32)   # bigrams
+    len_r = jnp.maximum(_eff_len(refs) - 1, 0).astype(jnp.float32)   # [n_img,R]
+    len_r = len_r[img_of]                                            # [2B, R]
+    delta = len_h[:, None] - len_r                                   # [2B, R]
+    len_pen = jnp.exp(-(delta ** 2) / (2 * sigma ** 2)) * my_rmask
+
+    sim_sum = jnp.zeros((B2, R))
+    for n in NS:
+        gh, vh = _gram_hashes(seqs, n)            # [2B, L]
+        gr, vr = _gram_hashes(refs, n)            # [n_img, R, Lr]
+        vr = vr * ref_mask[..., None]
+        gr_mine = gr[img_of]                      # [2B, R, Lr]
+        vr_mine = vr[img_of]
+
+        # hyp term frequency: [2B, L]
+        eq_hh = (gh[:, :, None] == gh[:, None, :]).astype(jnp.float32)
+        tf_h = jnp.einsum("sij,sj->si", eq_hh, vh)
+        # count of hyp gram i in ref r: [2B, L, R]
+        eq_hr = (gh[:, :, None, None] == gr_mine[:, None, :, :]) \
+            .astype(jnp.float32)
+        cnt_r = jnp.einsum("sirj,srj->sir", eq_hr, vr_mine)
+        # ref term frequency (within each ref): [n_img, R, Lr]
+        eq_rr = (gr[..., :, None] == gr[..., None, :]).astype(jnp.float32)
+        tf_r = jnp.einsum("zrij,zrj->zri", eq_rr, vr)
+
+        # document frequency over the expanded ref list.  contains[q, z] =
+        # image z has gram q in any ref.
+        flat_gr = gr.reshape(n_img, R * Lr)
+        flat_vr = vr.reshape(n_img, R * Lr)
+
+        def df_of(q_hash):  # q_hash [..., M] -> df same shape
+            eq = (q_hash[..., None, None] ==
+                  flat_gr[None, ...]).astype(jnp.float32) * flat_vr[None, ...]
+            contains = jnp.max(eq.reshape(q_hash.shape + (n_img, R * Lr)),
+                               axis=-1)
+            return jnp.sum(contains, axis=-1) * expand
+
+        df_h = df_of(gh)                            # [2B, L]
+        df_r = df_of(gr.reshape(n_img, R * Lr)).reshape(n_img, R, Lr)
+
+        idf_h = ref_len_log - jnp.log(jnp.maximum(1.0, df_h))
+        idf_r = ref_len_log - jnp.log(jnp.maximum(1.0, df_r))
+        w_h = tf_h * idf_h                          # [2B, L]
+        w_r_pos = tf_r * idf_r                      # [n_img, R, Lr]
+
+        # norms over DISTINCT grams: sum_i valid * w^2 / tf
+        norm_h = jnp.sqrt(jnp.sum(
+            vh * jnp.where(tf_h > 0, w_h ** 2 / jnp.maximum(tf_h, 1e-9), 0.0),
+            axis=1))                                # [2B]
+        norm_r = jnp.sqrt(jnp.sum(
+            vr * jnp.where(tf_r > 0,
+                           w_r_pos ** 2 / jnp.maximum(tf_r, 1e-9), 0.0),
+            axis=2))[img_of]                        # [2B, R]
+
+        # w_r of each hyp gram in each ref: cnt_r * idf(gram)
+        w_r_of_h = cnt_r * idf_h[:, :, None]        # [2B, L, R]
+        clipped = jnp.minimum(w_h[:, :, None], w_r_of_h) * w_r_of_h
+        # each distinct hyp gram once: weight valid/tf
+        weight = vh * jnp.where(tf_h > 0, 1.0 / jnp.maximum(tf_h, 1e-9), 0.0)
+        val = jnp.einsum("sir,si->sr", clipped, weight)  # [2B, R]
+        denom = norm_h[:, None] * norm_r
+        val = jnp.where(denom > 0, val / jnp.maximum(denom, 1e-20), 0.0)
+        sim_sum = sim_sum + val * len_pen
+
+    # mean over n, sum over refs, / n_refs, x10 (ciderD_scorer.py:186-196)
+    per_seq = jnp.sum(sim_sum, axis=1) / len(NS) / jnp.maximum(n_refs, 1) * 10.0
+    cider_gen = per_seq[:B]
+    cider_greedy_vec = per_seq[B:]
+    return (cider_gen - cider_greedy_vec, cider_gen,
+            jnp.mean(cider_greedy_vec))

@@ -233,6 +233,7 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
 
     gen_logprobs = None
     gen_masks = None
+    gen_seq = None
 
     # ---- DISC (ref :455-488) ----
     if _disc_active(opt, turn):
@@ -264,7 +265,7 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
             aux["retrieval_sc_loss"] = sc_loss
             aux["retrieval_loss"] = jnp.sum(retrieval_loss)
             aux["retrieval_loss_greedy"] = jnp.sum(baseline)
-            gen_result, gen_logprobs, gen_masks = out.seq, out.logprobs, _masks
+            gen_seq, gen_logprobs, gen_masks = out.seq, out.logprobs, _masks
         else:
             # Straight-through / partial-sampling (ref :343-376)
             mode = _MODE_MAP[opt.retrieval_reward]
@@ -277,15 +278,30 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
                 only_one_retrieval=opt.only_one_retrieval)
             loss = loss + hp.retrieval_reward_weight * loss_vse_disc
             aux["retrieval_loss"] = loss_vse_disc
-            gen_result, gen_logprobs, gen_masks = out.seq, out.logprobs, _masks
+            gen_seq, gen_logprobs, gen_masks = out.seq, out.logprobs, _masks
 
     # ---- CIDEr self-critical (ref :489-503) ----
     if _cider_active(opt, turn):
         if not _cider_reuses_disc(opt, turn):
             out = decoding.sample(spk, sp, ctx, opt.seq_length, r["cider"],
                                   mode="sample", temperature=1.0, **kw)
+            gen_seq = out.seq
             gen_logprobs = out.logprobs
             gen_masks = losses.masks_from_seq(out.seq)
+        if getattr(opt, "on_device_cider", 0) and "refs" in batch:
+            # fused performance tier: hashed-ngram CIDEr-D inside the step
+            from cooperativeimagecaptioning_tpu.rewards import ngram_device
+            greedy = decoding.sample(spk, sp, ctx, opt.seq_length,
+                                     r["greedy"], mode="greedy", **kw).seq
+            scores, cider_gen, cider_greedy = \
+                ngram_device.ciderd_rewards_device(
+                    jax.lax.stop_gradient(gen_seq),
+                    jax.lax.stop_gradient(greedy),
+                    batch["refs"], batch["ref_mask"],
+                    seq_per_img=opt.seq_per_img)
+            reward = cider_gen if opt.use_gen_cider_scores else scores
+            aux["avg_reward"] = jnp.mean(scores)
+            aux["cider_greedy"] = cider_greedy
         loss_cider = losses.self_critical_loss(
             gen_logprobs, -jax.lax.stop_gradient(reward), gen_masks)
         loss = loss + hp.cider_weight * loss_cider
@@ -311,4 +327,5 @@ def make_step_fns(opt, turn: str):
 
 
 def needs_reward(opt, turn: str) -> bool:
-    return _cider_active(opt, turn)
+    """Host reward stage needed (off when the on-device tier handles it)."""
+    return _cider_active(opt, turn) and not getattr(opt, "on_device_cider", 0)
