@@ -279,9 +279,21 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
             loss = loss + hp.retrieval_reward_weight * loss_vse_disc
             aux["retrieval_loss"] = loss_vse_disc
             gen_seq, gen_logprobs, gen_masks = out.seq, out.logprobs, _masks
+            gen_soft = out.soft
 
     # ---- CIDEr self-critical (ref :489-503) ----
     if _cider_active(opt, turn):
+        if getattr(opt, "soft_cider", 0) and _disc_active(opt, turn) and \
+                opt.retrieval_reward in ONE_HOT_MODES and "refs" in batch:
+            # Differentiable soft-CIDEr over the relaxed distributions — the
+            # capability the reference wired (--soft_cider/--df, cider_diff
+            # import at AlternatingJointModel.py:53) but never called.
+            from cooperativeimagecaptioning_tpu.rewards import cider_diff
+            loss_cider = cider_diff.soft_cider_loss(
+                gen_soft, batch["refs"], batch["ref_mask"])
+            loss = loss + hp.cider_weight * loss_cider
+            aux["loss_cider"] = loss_cider
+            return loss, aux
         if not _cider_reuses_disc(opt, turn):
             out = decoding.sample(spk, sp, ctx, opt.seq_length, r["cider"],
                                   mode="sample", temperature=1.0, **kw)
@@ -326,6 +338,18 @@ def make_step_fns(opt, turn: str):
     return sample_fn, grad_fn
 
 
+def uses_soft_cider(opt, turn: str) -> bool:
+    return (getattr(opt, "soft_cider", 0) and _disc_active(opt, turn)
+            and opt.retrieval_reward in ONE_HOT_MODES)
+
+
+def needs_device_refs(opt) -> bool:
+    return bool(getattr(opt, "on_device_cider", 0) or
+                getattr(opt, "soft_cider", 0))
+
+
 def needs_reward(opt, turn: str) -> bool:
-    """Host reward stage needed (off when the on-device tier handles it)."""
-    return _cider_active(opt, turn) and not getattr(opt, "on_device_cider", 0)
+    """Host reward stage needed (off when a device tier handles it)."""
+    return (_cider_active(opt, turn)
+            and not getattr(opt, "on_device_cider", 0)
+            and not uses_soft_cider(opt, turn))

@@ -145,7 +145,7 @@ class Trainer:
         if data is None:
             data = self.loader.get_batch("train")
         batch = self._batch_arrays(data, opt.use_att)
-        if getattr(opt, "on_device_cider", 0) and joint._cider_active(
+        if joint.needs_device_refs(opt) and joint._cider_active(
                 opt, "optimizer") and data.get("gts"):
             from cooperativeimagecaptioning_tpu.rewards import ngram_device
             batch["refs"], batch["ref_mask"] = ngram_device.pad_gts(

@@ -41,3 +41,18 @@ def test_on_device_matches_host_reward_path():
     ld_d, _, _ = tr_d.train_iteration(data=data)
     assert abs(ld_h["avg_reward"] - ld_d["avg_reward"]) < 1e-3
     assert abs(ld_h["loss"] - ld_d["loss"]) < 1e-3
+
+
+def test_training_with_soft_cider():
+    """Flag-gated differentiable soft-CIDEr path (--soft_cider 1)."""
+    opt = tiny_opt(is_alternating=1, alternating_turn=["speaker", "listener"],
+                   retrieval_reward="gumbel_softmax",
+                   retrieval_reward_weight=0.1, cider_optimization=0.9,
+                   caption_loss_weight=1, vse_loss_weight=0.1, phase=3,
+                   soft_cider=1)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    for _ in range(2):
+        loss_dict, _, _ = tr.train_iteration()
+        assert np.isfinite(loss_dict["loss"])
+        assert "loss_cider" in loss_dict
+        assert "avg_reward" not in loss_dict  # no REINFORCE reward stage
