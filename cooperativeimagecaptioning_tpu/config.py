@@ -126,6 +126,9 @@ _FLAGS = [
     ("on_device_cider", int, 0, "hashed n-gram CIDEr-D reward fully on device"),
     ("prefetch_batches", int, 2, "host-side prefetch depth"),
     ("seed", int, 123, "global PRNG seed"),
+    ("profile_dir", str, "", "jax profiler trace dir (empty = off)"),
+    ("profile_start", int, 10, "iteration to start the profiler trace"),
+    ("profile_steps", int, 5, "number of iterations to trace"),
 ]
 
 

@@ -1,0 +1,143 @@
+"""SPICE-lite: scene-graph tuple F-score (replaces spice-1.0.jar + CoreNLP,
+ref: coco-caption/pycocoevalcap/spice/spice.py — a missing large blob even in
+the reference checkout, and soft-disabled in its model selection,
+train.py:264-267).
+
+The Java SPICE parses captions with a trained dependency parser; SPICE-lite uses
+a rule-based shallow parse tuned for caption-style English:
+  * noun-phrase chunks from closed-class word lists (determiners, prepositions,
+    copulas) + morphological verb heuristics;
+  * tuples: (object), (object, attribute), (subject, relation, object);
+  * matching by Porter-stem equality; per-image F1 of candidate tuples against
+    the union of reference tuples, with category sub-scores (Object/Attribute/
+    Relation) in the same output contract as the jar
+    ({'All': {'f','p','r'}, 'Object': ..., ...}).
+
+Documented divergence: no WordNet synonym matching, no trained parser — scores
+are comparable across models evaluated with this implementation, not with
+jar-computed numbers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cooperativeimagecaptioning_tpu.metrics.porter import stem
+
+DETERMINERS = {"a", "an", "the", "this", "that", "these", "those", "some",
+               "any", "each", "every", "no", "another", "its", "his", "her",
+               "their", "our", "my", "your"}
+PREPOSITIONS = {"in", "on", "at", "of", "with", "by", "for", "from", "to",
+                "into", "onto", "over", "under", "above", "below", "near",
+                "beside", "between", "behind", "through", "across", "around",
+                "against", "along", "inside", "outside", "next", "atop",
+                "amid", "among", "off", "up", "down", "out"}
+COPULAS = {"is", "are", "was", "were", "be", "been", "being", "seems",
+           "looks", "appears"}
+CONJUNCTIONS = {"and", "or", "while", "as", "that", "which", "who"}
+COMMON_VERBS = {"has", "have", "had", "holds", "holding", "hold", "wears",
+                "wearing", "wear", "sits", "sitting", "sit", "stands",
+                "standing", "stand", "rides", "riding", "ride", "walks",
+                "walking", "walk", "runs", "running", "run", "plays",
+                "playing", "play", "eats", "eating", "eat", "drinks",
+                "drinking", "drink", "jumps", "jumping", "jump", "flies",
+                "flying", "fly", "looks", "looking", "look", "carries",
+                "carrying", "carry", "uses", "using", "use", "throws",
+                "throwing", "throw", "catches", "catching", "catch", "hangs",
+                "hanging", "hang", "lies", "lying", "lie", "leans", "leaning",
+                "parked", "covered", "filled", "topped", "surrounded"}
+NOUN_ING_EXCEPTIONS = {"building", "painting", "clothing", "ceiling",
+                       "lightning", "morning", "evening", "dining", "living",
+                       "wedding", "railing", "awning", "icing"}
+
+
+def _is_verb(tok: str) -> bool:
+    if tok in COPULAS or tok in COMMON_VERBS:
+        return True
+    if tok.endswith("ing") and len(tok) > 4 and tok not in NOUN_ING_EXCEPTIONS:
+        return True
+    return False
+
+
+def parse_tuples(caption: str):
+    """Shallow parse -> set of stemmed tuples."""
+    toks = caption.lower().split()
+    chunks = []       # list of (attrs, head)
+    relations = []    # (subj_chunk_idx, rel, obj_chunk_idx)
+    cur = []
+    pending_rel = None
+    pending_subj = None
+
+    def close_chunk():
+        nonlocal cur, pending_rel, pending_subj
+        if not cur:
+            return
+        head = cur[-1]
+        attrs = cur[:-1]
+        chunks.append((attrs, head))
+        if pending_rel is not None and pending_subj is not None:
+            relations.append((pending_subj, pending_rel, len(chunks) - 1))
+            pending_rel = None
+        cur = []
+
+    for tok in toks:
+        if tok in DETERMINERS or tok in CONJUNCTIONS:
+            close_chunk()
+        elif tok in PREPOSITIONS:
+            close_chunk()
+            if chunks:
+                pending_subj = len(chunks) - 1
+                pending_rel = tok
+        elif _is_verb(tok):
+            close_chunk()
+            if chunks:
+                pending_subj = len(chunks) - 1
+                pending_rel = tok if tok not in COPULAS else None
+        else:
+            cur.append(tok)
+    close_chunk()
+
+    tuples = set()
+    for attrs, head in chunks:
+        h = stem(head)
+        tuples.add(("O", h))
+        for a in attrs:
+            tuples.add(("A", h, stem(a)))
+    for si, rel, oi in relations:
+        if si < len(chunks) and oi < len(chunks):
+            tuples.add(("R", stem(chunks[si][1]), stem(rel),
+                        stem(chunks[oi][1])))
+    return tuples
+
+
+def _f1(cand: set, ref: set):
+    if not cand or not ref:
+        return {"p": 0.0, "r": 0.0, "f": 0.0}
+    inter = len(cand & ref)
+    p = inter / len(cand)
+    r = inter / len(ref)
+    f = 2 * p * r / (p + r) if p + r > 0 else 0.0
+    return {"p": p, "r": r, "f": f}
+
+
+CATEGORIES = {"Object": "O", "Attribute": "A", "Relation": "R"}
+
+
+def sentence_spice(hyp: str, refs: list) -> dict:
+    cand = parse_tuples(hyp)
+    ref = set()
+    for r in refs:
+        ref |= parse_tuples(r)
+    out = {"All": _f1(cand, ref)}
+    for name, tag in CATEGORIES.items():
+        out[name] = _f1({t for t in cand if t[0] == tag},
+                        {t for t in ref if t[0] == tag})
+    return out
+
+
+def compute_spice(gts: dict, res: dict):
+    """coco-caption contract: (corpus mean F, per-image dicts)."""
+    ids = sorted(gts.keys(), key=lambda x: str(x))
+    per_image = [sentence_spice(res[i][0], gts[i]) for i in ids]
+    mean_f = float(np.mean([p["All"]["f"] for p in per_image]))
+    return mean_f, per_image

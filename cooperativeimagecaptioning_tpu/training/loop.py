@@ -259,9 +259,19 @@ class Trainer:
     # -- full loop (ref: train.py:473-562) --------------------------------------
     def train(self, max_iterations=None):
         opt = self.opt
+        profiling = False
         while True:
+            # profiler window (SURVEY.md §5.1; --profile_dir/--profile_start)
+            if getattr(opt, "profile_dir", "") and not profiling and \
+                    self.iteration == opt.profile_start:
+                jax.profiler.start_trace(opt.profile_dir)
+                profiling = True
+                profile_stop = self.iteration + opt.profile_steps
             start = time.time()
             loss_dict, turn, data = self.train_iteration()
+            if profiling and self.iteration >= profile_stop:
+                jax.profiler.stop_trace()
+                profiling = False
             if self.verbose:
                 dur = time.time() - start
                 msg = " ".join(f"{k} = {round(v, 2)}"
