@@ -173,12 +173,30 @@ def sample(module, params, ctx, seq_length, rng, mode="greedy", temperature=1.0,
         rng, r_step = jax.random.split(rng)
         state, _ = module.step(params, ctx, state, pe, r_step, train, drop_prob)
 
+    # Fused-greedy fast path: the carry holds only (argmax, its logprob) per row
+    # instead of the full [B, V+1] log-softmax — the Pallas logit head streams
+    # vocab tiles through VMEM and never materializes logits in HBM.
+    use_fused = mode == "greedy" and not decoding_constraint
+
+    def head(out):
+        if use_fused:
+            from cooperativeimagecaptioning_tpu.ops.pallas import logit_head
+            return logit_head.greedy_head(
+                out, params["logit"]["w"], params["logit"]["b"])
+        return jax.nn.log_softmax(module.logits(params, out), axis=-1)
+
+    def select_from(rng, sel):
+        if use_fused:
+            it, sample_lp = sel
+            return it, sample_lp, None
+        return select(rng, sel)
+
     # t = 0: BOS step
     rng, r_emb, r_step = jax.random.split(rng, 3)
     xt = module.embed_token(params, jnp.full((B,), bos, jnp.int32),
                             r_emb, train, drop_prob)
     state, out = module.step(params, ctx, state, xt, r_step, train, drop_prob)
-    lp = jax.nn.log_softmax(module.logits(params, out), axis=-1)
+    lp = head(out)
 
     eos_one_hot = jnp.zeros((vocab_plus2,)).at[0].set(1.0)
 
@@ -193,13 +211,13 @@ def sample(module, params, ctx, seq_length, rng, mode="greedy", temperature=1.0,
             oh = jnp.where(unfinished[:, None], oh, eos_one_hot[None, :])
         else:
             # zero-width placeholder: scan still stacks it, but it costs nothing
-            oh = jnp.zeros((B, 0), lp.dtype)
+            oh = jnp.zeros((B, 0), jnp.float32)
         return unfinished, it_masked, sample_lp, oh
 
     def body(carry, t):
         state, lp, unfinished, prev_word, rng = carry
         rng, r_sel, r_emb, r_step = jax.random.split(rng, 4)
-        it, sample_lp, relaxed = select(r_sel, lp)
+        it, sample_lp, relaxed = select_from(r_sel, lp)
         unfinished, it_masked, sample_lp, oh = emit(
             it, sample_lp, relaxed, unfinished, t)
         # Embed the *raw* sampled token / unmodified soft vector (see docstring).
@@ -210,12 +228,15 @@ def sample(module, params, ctx, seq_length, rng, mode="greedy", temperature=1.0,
         else:
             xt = module.embed_token(params, it, r_emb, train, drop_prob)
         state, out = module.step(params, ctx, state, xt, r_step, train, drop_prob)
-        logits = module.logits(params, out)
-        if decoding_constraint:
-            penalty = jnp.zeros_like(logits).at[
-                jnp.arange(B), it_masked].set(NEG_INF)
-            logits = logits + penalty
-        lp = jax.nn.log_softmax(logits, axis=-1)
+        if use_fused:
+            lp = head(out)
+        else:
+            logits = module.logits(params, out)
+            if decoding_constraint:
+                penalty = jnp.zeros_like(logits).at[
+                    jnp.arange(B), it_masked].set(NEG_INF)
+                logits = logits + penalty
+            lp = jax.nn.log_softmax(logits, axis=-1)
         return (state, lp, unfinished, it_masked, rng), (it_masked, sample_lp, oh)
 
     unfinished0 = jnp.ones((B,), bool)
@@ -234,7 +255,7 @@ def sample(module, params, ctx, seq_length, rng, mode="greedy", temperature=1.0,
     # the subsequent core step's logprobs).
     state, lp, unfinished, prev_word, rng = carry
     rng, r_sel = jax.random.split(rng)
-    it, sample_lp, relaxed = select(r_sel, lp)
+    it, sample_lp, relaxed = select_from(r_sel, lp)
     unfinished, it_masked, sample_lp, oh = emit(
         it, sample_lp, relaxed, unfinished, jnp.asarray(seq_length))
     seq = jnp.concatenate([seqs, it_masked[:, None]], axis=1)
