@@ -1,0 +1,85 @@
+"""Distributed (GSPMD) training step on the virtual 8-device CPU mesh, and
+equivalence with the single-device step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cooperativeimagecaptioning_tpu.config import Options
+from cooperativeimagecaptioning_tpu.parallel import (
+    make_mesh, replicate, shard_batch)
+from cooperativeimagecaptioning_tpu.parallel.train_step import (
+    make_distributed_train_step)
+from cooperativeimagecaptioning_tpu.training import joint
+
+
+def make_opt(**kw):
+    base = dict(caption_model="att2in2", vse_model="fc", batch_size=16,
+                rnn_size=16, input_encoding_size=12, att_hid_size=8,
+                vse_embed_size=16, fc_feat_size=20, att_feat_size=20,
+                drop_prob_lm=0.0, learning_rate=1e-3, is_alternating=1,
+                alternating_turn=["speaker", "listener"],
+                retrieval_reward="gumbel", retrieval_reward_weight=0.1,
+                cider_optimization=0, caption_loss_weight=1,
+                vse_loss_weight=0.1, phase=3, max_att_len=6, seq_per_img=1,
+                use_att=True)
+    base.update(kw)
+    opt = Options(**base)
+    opt.vocab_size = 30
+    opt.seq_length = 8
+    return opt
+
+
+def make_batch(opt, seed=0):
+    rng = np.random.RandomState(seed)
+    B, K, L = opt.batch_size, opt.max_att_len, opt.seq_length
+    return {
+        "fc_feats": jnp.asarray(rng.randn(B, opt.fc_feat_size), jnp.float32),
+        "att_feats": jnp.asarray(
+            rng.randn(B, K, opt.att_feat_size), jnp.float32),
+        "att_masks": jnp.ones((B, K), jnp.float32),
+        "labels": jnp.asarray(np.concatenate(
+            [np.zeros((B, 1)), rng.randint(1, 30, (B, L)),
+             np.zeros((B, 1))], axis=1), jnp.int32),
+        "masks": jnp.ones((B, L + 2), jnp.float32),
+    }
+
+
+def test_distributed_step_runs_and_matches_replicated():
+    assert len(jax.devices()) >= 8
+    opt = make_opt()
+    params = joint.init_params(jax.random.PRNGKey(0), opt)
+    batch = make_batch(opt)
+    hp = joint.Hyper.from_opt(opt)
+    rng = jax.random.PRNGKey(1)
+    reward = jnp.zeros((opt.batch_size,))
+
+    # single-device reference loss
+    modules = {"speaker": __import__(
+        "cooperativeimagecaptioning_tpu.models.att_model",
+        fromlist=["x"])}
+    from cooperativeimagecaptioning_tpu import models as zoo
+    mods = {"speaker": zoo.setup(opt, "att2in2", "caption_model")}
+    loss_ref, _ = joint.loss_fn(mods, params, opt, batch, rng, hp,
+                                "speaker", reward, train=True)
+
+    for n_data, n_model in [(8, 1), (4, 2)]:
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        with mesh:
+            p = replicate(params, mesh)
+            init_states, step = make_distributed_train_step(
+                opt, "speaker", mesh, donate=False)
+            states = replicate(init_states(p), mesh)
+            sb = shard_batch(batch, mesh)
+            new_p, new_s, loss, aux = step(
+                p, states, sb, replicate(rng, mesh), replicate(hp, mesh),
+                jax.device_put(reward, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec("data"))))
+            # identical math regardless of mesh shape
+            np.testing.assert_allclose(float(loss), float(loss_ref),
+                                       rtol=2e-5)
+            # params actually moved
+            moved = any(
+                not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(new_p)))
+            assert moved
