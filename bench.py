@@ -63,25 +63,87 @@ def bench_once(batch_size: int, dtype, iters: int = 10):
     return batch_size * iters / dt
 
 
+def bench_beam(batch_size: int, beam_size: int, dtype, iters: int = 5):
+    from cooperativeimagecaptioning_tpu.config import Options
+    from cooperativeimagecaptioning_tpu.models import att_model
+    from cooperativeimagecaptioning_tpu.ops import decoding
+    from cooperativeimagecaptioning_tpu.training import joint
+
+    opt = Options(caption_model="att2in2", vse_model="None", rnn_size=512,
+                  input_encoding_size=512, att_hid_size=512,
+                  fc_feat_size=2048, att_feat_size=2048, drop_prob_lm=0.0)
+    opt.vocab_size = 9487
+    opt.seq_length = 16
+    params = joint.init_params(jax.random.PRNGKey(0), opt)
+    if dtype != jnp.float32:
+        params = jax.tree.map(lambda x: x.astype(dtype)
+                              if x.dtype == jnp.float32 else x, params)
+    rng = np.random.RandomState(0)
+    att = jnp.asarray(rng.randn(batch_size, 36, 2048), dtype)
+
+    @jax.jit
+    def decode(params, att):
+        sp = joint.speaker_view(params, opt)
+        ctx = att_model.encode_features(sp, None, att, None)
+        return decoding.beam_search(att_model, sp, ctx, opt.seq_length,
+                                    beam_size).seq
+
+    np.asarray(decode(params, att))
+    t0 = time.perf_counter()
+    seq = None
+    for _ in range(iters):
+        seq = decode(params, att)
+    np.asarray(seq)
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
+def bench_resnet(batch_size: int = 16, size: int = 448, iters: int = 10):
+    from cooperativeimagecaptioning_tpu.preprocess import resnet, feats
+    params = resnet.init_params(jax.random.PRNGKey(0), "resnet101")
+    run = feats.make_extractor(params)
+    x = jnp.asarray(np.random.RandomState(0).rand(batch_size, size, size, 3),
+                    jnp.float32)
+    np.asarray(run(x)[0])
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = run(x)
+    np.asarray(out[0])
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    extras = "--full" in sys.argv
     dtype = jnp.bfloat16
     platform = jax.devices()[0].platform
     if platform == "cpu":  # CI / local sanity: smaller shapes
         batch = min(batch, 64)
-    best = 0.0
-    for b in {batch, batch * 2} if platform != "cpu" else {batch}:
-        try:
-            best = max(best, bench_once(b, dtype))
-        except Exception as e:
-            print(f"bench batch={b} failed: {e}", file=sys.stderr)
+    try:
+        best = bench_once(batch, dtype)
+    except Exception as e:
+        print(f"bench batch={batch} failed: {e}", file=sys.stderr)
+        best = bench_once(max(64, batch // 8), dtype)
     baseline = 5000.0  # north-star target captions/sec/chip (BASELINE.json)
-    print(json.dumps({
+    out = {
         "metric": "captions_per_sec_per_chip_beam1",
         "value": round(best, 1),
         "unit": "captions/s",
         "vs_baseline": round(best / baseline, 3),
-    }))
+    }
+    if extras:
+        try:
+            out["beam5_captions_per_sec"] = round(
+                bench_beam(1024 if platform != "cpu" else 8, 5, dtype), 1)
+        except Exception as e:
+            print(f"beam bench failed: {e}", file=sys.stderr)
+        try:
+            out["resnet101_images_per_sec"] = round(bench_resnet(
+                16 if platform != "cpu" else 1,
+                448 if platform != "cpu" else 64), 1)
+        except Exception as e:
+            print(f"resnet bench failed: {e}", file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -107,9 +107,12 @@ def step(params, ctx, state, xt, rng=None, train=False, drop_prob: float = 0.0):
     """
     h_prev, c_prev = state
     H = h_prev.shape[-1]
-    att_res = layers.additive_attention(
-        params["core"]["attention"], h_prev,
-        ctx["att_feats"], ctx["p_att_feats"], ctx["att_masks"])
+    ap = params["core"]["attention"]
+    from cooperativeimagecaptioning_tpu.ops.pallas import att_step
+    att_res = att_step.fused_attention(
+        h_prev, ctx["att_feats"], ctx["p_att_feats"],
+        ap["h2att"]["w"], ap["h2att"]["b"],
+        ap["alpha_net"]["w"], ap["alpha_net"]["b"], ctx["att_masks"])
     sums = layers.linear(params["core"]["i2h"], xt) + \
         layers.linear(params["core"]["h2h"], h_prev)
     sig = jax.nn.sigmoid(sums[:, : 3 * H])

@@ -1,0 +1,61 @@
+"""Fused attention kernel: reference-math equivalence + gradient path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cooperativeimagecaptioning_tpu.ops.pallas import att_step
+
+
+def case(seed=0, B=8, K=6, H=16, A=12, masks=True):
+    rng = np.random.RandomState(seed)
+    h = jnp.asarray(rng.randn(B, H).astype(np.float32))
+    emb = jnp.asarray(rng.randn(B, K, H).astype(np.float32))
+    patt = jnp.asarray(rng.randn(B, K, A).astype(np.float32))
+    wh = jnp.asarray(rng.randn(H, A).astype(np.float32) * 0.1)
+    bh = jnp.asarray(rng.randn(A).astype(np.float32) * 0.1)
+    wa = jnp.asarray(rng.randn(A, 1).astype(np.float32) * 0.1)
+    ba = jnp.asarray(rng.randn(1).astype(np.float32) * 0.1)
+    m = None
+    if masks:
+        m = np.zeros((B, K), np.float32)
+        m[:, 0] = 1
+        for i in range(B):
+            m[i, : rng.randint(1, K + 1)] = 1
+        m = jnp.asarray(m)
+    return h, emb, patt, wh, bh, wa, ba, m
+
+
+def test_fused_matches_layers_attention():
+    from cooperativeimagecaptioning_tpu.models import layers
+    h, emb, patt, wh, bh, wa, ba, m = case()
+    params = {"h2att": {"w": wh, "b": bh}, "alpha_net": {"w": wa, "b": ba}}
+    want = layers.additive_attention(params, h, emb, patt, m)
+    got = att_step.fused_attention(h, emb, patt, wh, bh, wa, ba, m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_fused_no_mask_skips_renorm():
+    from cooperativeimagecaptioning_tpu.models import layers
+    h, emb, patt, wh, bh, wa, ba, _ = case(masks=False)
+    params = {"h2att": {"w": wh, "b": bh}, "alpha_net": {"w": wa, "b": ba}}
+    want = layers.additive_attention(params, h, emb, patt, None)
+    got = att_step.fused_attention(h, emb, patt, wh, bh, wa, ba, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_fused_attention_gradients():
+    h, emb, patt, wh, bh, wa, ba, m = case(seed=1)
+
+    def f_fused(h, emb, patt, wh):
+        return jnp.sum(att_step.fused_attention(
+            h, emb, patt, wh, bh, wa, ba, m) ** 2)
+
+    def f_ref(h, emb, patt, wh):
+        return jnp.sum(att_step.attention_reference(
+            h, emb, patt, wh, bh, wa, ba, m) ** 2)
+
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2, 3))(h, emb, patt, wh)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(h, emb, patt, wh)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
