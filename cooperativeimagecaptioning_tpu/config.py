@@ -118,6 +118,11 @@ _FLAGS = [
     ("df", str, "coco-val", "'corpus' or cached doc-freq name"),
     # Dataset (opts.py:248-249)
     ("dataset", str, "coco", "coco | flickr8k | flickr30k | conceptual"),
+    # Feature-pipeline options (ref: dataloader.py:78-84 getattr defaults)
+    ("use_box", int, 0, "append normalized box geometry to att feats"),
+    ("norm_att_feat", int, 0, "L2-normalize att features"),
+    ("norm_box_feat", int, 0, "L2-normalize box features"),
+    ("input_box_dir", str, "data/cocobu_box", "dir of box features"),
     # ---- TPU-native additions (not in reference; defaults keep ref behavior) ----
     ("max_att_len", int, 0, "static att-feature padding length (0 = batch max; "
                             "set >0 to avoid XLA recompiles on TPU)"),

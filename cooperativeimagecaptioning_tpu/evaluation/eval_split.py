@@ -154,16 +154,36 @@ class Evaluator:
                 break
 
         lang_stats = {}
+        phase = getattr(opt, "phase", 0)
         if lang_eval == 1:
             from cooperativeimagecaptioning_tpu.evaluation import language_eval
-            lang_stats = language_eval.language_eval(
-                opt.dataset, predictions, opt.id, split,
-                getattr(opt, "checkpoint_path", None), ann_file=ann_file,
-                loader=loader)
+            if phase == 1:
+                # phase-1 twist: language metrics for both val and test each
+                # checkpoint (ref: eval_utils.py:230-236)
+                lang_stats = {
+                    s: language_eval.language_eval(
+                        opt.dataset, predictions, opt.id, s,
+                        getattr(opt, "checkpoint_path", None),
+                        ann_file=ann_file, loader=loader)
+                    for s in ("val", "test")}
+            else:
+                lang_stats = language_eval.language_eval(
+                    opt.dataset, predictions, opt.id, split,
+                    getattr(opt, "checkpoint_path", None), ann_file=ann_file,
+                    loader=loader)
 
         out_losses = {k: v / loss_evals for k, v in losses_acc.items()}
         if rank_eval:
-            ranks = self.evalrank(params, loader, ek, use_gen_sent)
+            if not use_gen_sent and phase == 1:
+                # rank both splits each checkpoint (ref: eval_utils.py:259-267)
+                ranks = {}
+                for s in ("val", "test"):
+                    ek_s = dict(ek)
+                    ek_s["split"] = s
+                    ranks[s] = self.evalrank(params, loader, ek_s,
+                                             use_gen_sent)
+            else:
+                ranks = self.evalrank(params, loader, ek, use_gen_sent)
             out_losses.update(ranks)
             if use_gen_sent and not ann_file:
                 out_losses["gt_ranks"] = self.evalrank(params, loader, ek,

@@ -31,7 +31,8 @@ def annotations_from_loader(loader):
 
 
 def language_eval(dataset, preds, model_id, split, ckpt_path=None,
-                  ann_file=None, loader=None, out_dir="eval_results"):
+                  ann_file=None, loader=None, out_dir="eval_results",
+                  include_spice=False):
     """ref: eval_utils.py:19-86."""
     if ann_file and os.path.isfile(ann_file):
         coco = CocoAnnotations(ann_file)
@@ -50,11 +51,20 @@ def language_eval(dataset, preds, model_id, split, ckpt_path=None,
         json.dump(preds_filt, f)
 
     coco_res = coco.load_res(preds_filt)
-    coco_eval = CocoEvalCap(coco, coco_res)
+    coco_eval = CocoEvalCap(coco, coco_res, include_spice=include_spice)
     coco_eval.params["image_id"] = coco_res.get_img_ids()
     coco_eval.evaluate()
 
     out = dict(coco_eval.eval)
+    if include_spice:
+        # per-category SPICE means (ref: eval_utils.py:66-70)
+        import numpy as np
+        vals = list(coco_eval.img_to_eval.values())
+        for k in vals[0]["SPICE"]:
+            if k == "All":
+                continue
+            arr = np.array([v["SPICE"][k]["f"] for v in vals])
+            out["SPICE_" + k] = float(arr[arr == arr].mean())
 
     img_to_eval = coco_eval.img_to_eval
     for p in preds_filt:

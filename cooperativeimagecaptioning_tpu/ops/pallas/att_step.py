@@ -49,27 +49,27 @@ def _make_kernel(use_mask: bool):
              out_ref) = refs
         att_h = jnp.dot(h_ref[:], wh_ref[:],
                         preferred_element_type=jnp.float32) + bh_ref[:]
-        BB = att_h.shape[0]
         K = patt_ref.shape[1]
         dot = jnp.tanh(patt_ref[:].astype(jnp.float32) + att_h[:, None, :])
-        scores = jax.lax.dot_general(
-            dot.reshape(BB * K, -1), wa_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(BB, K) + ba_ref[0, 0]
+        # [BB, K, A] . [A] -> [BB, K]; multiply-reduce (Mosaic rejects batched
+        # dot_general inside kernels)
+        scores = jnp.sum(dot * wa_ref[:][:, 0][None, None, :],
+                         axis=2) + ba_ref[0, 0]
         w = jax.nn.softmax(scores, axis=-1)
         if use_mask:
             w = w * mask_ref[:]
             w = w / jnp.sum(w, axis=1, keepdims=True)
-        out_ref[:] = jax.lax.dot_general(
-            w, emb_ref[:].reshape(BB, K, -1),
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        out_ref[:] = jnp.sum(
+            w[:, :, None] * emb_ref[:].astype(jnp.float32),
+            axis=1).astype(out_ref.dtype)
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "use_mask"))
 def _attention_pallas(h, att_emb, p_att, w_h2att, b_h2att, w_alpha, b_alpha,
-                      masks, use_mask: bool, block_b: int = 128):
+                      masks, use_mask: bool, block_b: int = 64):
+    # block_b=64: double-buffered [bb,K,H]+[bb,K,A] bf16 inputs + the f32 tanh
+    # intermediate must fit the 16MB scoped VMEM (128 OOMs at K=36, H=A=512)
     B, K, H = att_emb.shape
     A = p_att.shape[2]
     bb = min(block_b, B)

@@ -253,7 +253,13 @@ class Trainer:
                 current = lang_stats.get("CIDEr", 0)
         else:
             current = 0 if opt.phase == 1 else -val_loss.get("loss_cap", 0.0)
-        vse_score = val_loss.get(opt.vse_eval_criterion, 0) * 100
+        crit = opt.vse_eval_criterion
+        if crit in val_loss:
+            vse_score = val_loss[crit] * 100
+        elif isinstance(val_loss.get("val"), dict):
+            vse_score = val_loss["val"].get(crit, 0) * 100  # phase-1 nesting
+        else:
+            vse_score = 0
         return current, vse_score
 
     # -- full loop (ref: train.py:473-562) --------------------------------------
