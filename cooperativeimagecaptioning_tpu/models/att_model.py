@@ -106,24 +106,17 @@ def step(params, ctx, state, xt, rng=None, train=False, drop_prob: float = 0.0):
     (AttModel.py:529-530), unlike FCModel.
     """
     h_prev, c_prev = state
-    H = h_prev.shape[-1]
-    ap = params["core"]["attention"]
-    from cooperativeimagecaptioning_tpu.ops.pallas import att_step
+    core = params["core"]
+    ap = core["attention"]
+    from cooperativeimagecaptioning_tpu.ops.pallas import att_step, cell_step
     att_res = att_step.fused_attention(
         h_prev, ctx["att_feats"], ctx["p_att_feats"],
         ap["h2att"]["w"], ap["h2att"]["b"],
         ap["alpha_net"]["w"], ap["alpha_net"]["b"], ctx["att_masks"])
-    sums = layers.linear(params["core"]["i2h"], xt) + \
-        layers.linear(params["core"]["h2h"], h_prev)
-    sig = jax.nn.sigmoid(sums[:, : 3 * H])
-    in_gate = sig[:, :H]
-    forget_gate = sig[:, H: 2 * H]
-    out_gate = sig[:, 2 * H: 3 * H]
-    in_transform = sums[:, 3 * H: 5 * H] + \
-        layers.linear(params["core"]["a2c"], att_res)
-    in_transform = jnp.maximum(in_transform[:, :H], in_transform[:, H: 2 * H])
-    next_c = forget_gate * c_prev + in_gate * in_transform
-    next_h = out_gate * jnp.tanh(next_c)
+    next_h, next_c = cell_step.fused_cell(
+        xt, h_prev, c_prev, att_res,
+        core["i2h"]["w"], core["i2h"]["b"], core["h2h"]["w"], core["h2h"]["b"],
+        core["a2c"]["w"], core["a2c"]["b"])
     out = next_h
     if train and drop_prob > 0.0:
         out = layers.dropout(rng, out, drop_prob, deterministic=False)

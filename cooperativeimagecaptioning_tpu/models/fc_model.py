@@ -76,10 +76,12 @@ def step(params, ctx, state, xt, rng=None, train=False, drop_prob: float = 0.0):
     state (FCModel.py:39-42), so the dropped activation propagates — reproduced.
     """
     h_prev, c_prev = state
-    H = h_prev.shape[-1]
-    sums = layers.linear(params["core"]["i2h"], xt) + \
-        layers.linear(params["core"]["h2h"], h_prev)
-    next_h, next_c = layers.maxout_lstm_gates(sums, c_prev, H)
+    core = params["core"]
+    from cooperativeimagecaptioning_tpu.ops.pallas import cell_step
+    next_h, next_c = cell_step.fused_cell(
+        xt, h_prev, c_prev, None,
+        core["i2h"]["w"], core["i2h"]["b"], core["h2h"]["w"], core["h2h"]["b"],
+        None, None)
     if train and drop_prob > 0.0:
         next_h = layers.dropout(rng, next_h, drop_prob, deterministic=False)
     return (next_h, next_c), next_h
