@@ -16,14 +16,30 @@ import numpy as np
 
 
 class DirFeatureSource:
-    """npy/npz directory feature store (ref: dataloader.py:24-53)."""
+    """npy/npz directory feature store (ref: dataloader.py:24-53).
+
+    Reads go through the C++ parser (native/cic_io.cpp) when built — it
+    releases the GIL for the whole read+inflate so the thread prefetcher
+    parallelizes — with np.load as the fallback for anything it can't parse."""
 
     def __init__(self, db_path: str, ext: str):
         self.db_path = db_path
         self.ext = ext
+        self._native = None
+        try:
+            from cooperativeimagecaptioning_tpu.native import bindings
+            if bindings.available():
+                self._native = bindings
+        except Exception:
+            pass
 
     def get(self, key: str):
         path = os.path.join(self.db_path, key + self.ext)
+        if self._native is not None:
+            out = (self._native.read_npy(path) if self.ext == ".npy"
+                   else self._native.read_npz_feat(path))
+            if out is not None:
+                return out
         if self.ext == ".npy":
             return np.load(path)
         return np.load(path)["feat"]

@@ -13,7 +13,9 @@ import subprocess
 import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "cic_native.cpp")
+_SRCS = [os.path.join(_HERE, "cic_native.cpp"),
+         os.path.join(_HERE, "cic_io.cpp")]
+_SRC = _SRCS[0]
 _SO = os.path.join(_HERE, "libcic_native.so")
 _lock = threading.Lock()
 _lib = None
@@ -22,12 +24,13 @@ _tried = False
 
 def build(force: bool = False) -> bool:
     """Compile the shared library; returns True on success."""
-    if os.path.isfile(_SO) and not force and \
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    if os.path.isfile(_SO) and not force and all(
+            os.path.getmtime(_SO) >= os.path.getmtime(s) for s in _SRCS):
         return True
     try:
         subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO],
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", *_SRCS,
+             "-o", _SO, "-lz"],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -50,6 +53,12 @@ def _load():
         lib.cic_porter_stem.argtypes = [ctypes.c_char_p]
         lib.cic_porter_stem.restype = ctypes.c_char_p
         lib.cic_version.restype = ctypes.c_int
+        for fn in (lib.cic_read_npy, lib.cic_read_npz_feat):
+            fn.argtypes = [ctypes.c_char_p,
+                           ctypes.POINTER(ctypes.c_float),
+                           ctypes.c_int64,
+                           ctypes.POINTER(ctypes.c_int64)]
+            fn.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -92,3 +101,36 @@ def meteor(gts: dict, res: dict):
 def porter_stem(word: str) -> str:
     lib = _load()
     return lib.cic_porter_stem(word.encode("utf-8")).decode("utf-8")
+
+
+def read_npy(path: str, max_elems: int = 1 << 24):
+    """Native npy reader (f32, C-order).  Returns ndarray or None on
+    unsupported input (caller falls back to np.load)."""
+    import numpy as np
+    lib = _load()
+    buf = np.empty(max_elems, np.float32)
+    shape = np.zeros(8, np.int64)
+    ndim = lib.cic_read_npy(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_elems, shape.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if ndim <= 0:
+        return None
+    shp = tuple(int(s) for s in shape[:ndim])
+    n = int(np.prod(shp))
+    return buf[:n].reshape(shp).copy()
+
+
+def read_npz_feat(path: str, max_elems: int = 1 << 24):
+    """Native npz['feat'] reader (stored or deflated member)."""
+    import numpy as np
+    lib = _load()
+    buf = np.empty(max_elems, np.float32)
+    shape = np.zeros(8, np.int64)
+    ndim = lib.cic_read_npz_feat(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_elems, shape.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if ndim <= 0:
+        return None
+    shp = tuple(int(s) for s in shape[:ndim])
+    n = int(np.prod(shp))
+    return buf[:n].reshape(shp).copy()

@@ -114,8 +114,15 @@ def _cell_pallas(xt, h, c, att_res, wi, bi, wh, bh, wc, bc, use_att: bool,
 
 @jax.custom_vjp
 def fused_cell(xt, h, c, att_res, wi, bi, wh, bh, wc, bc):
-    """Dispatch: Pallas on TPU, reference elsewhere.  att_res/wc/bc None = FC."""
-    if jax.devices()[0].platform in ("tpu", "axon"):
+    """Dispatch.  att_res/wc/bc None = FC variant.
+
+    Measured on v5e: XLA already fuses the gate elementwise chain into the two
+    matmuls well enough that the Pallas cell is a slight net loss on the decode
+    path (176k vs 183k captions/s with it off), so it is opt-in via
+    CIC_FUSED_CELL=1 pending per-shape tuning."""
+    import os
+    if os.environ.get("CIC_FUSED_CELL") == "1" and \
+            jax.devices()[0].platform in ("tpu", "axon"):
         try:
             return _cell_pallas(xt, h, c, att_res, wi, bi, wh, bh, wc, bc,
                                 use_att=att_res is not None)

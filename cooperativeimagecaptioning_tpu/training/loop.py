@@ -174,7 +174,14 @@ class Trainer:
             aux_host["cider_greedy"] = float(cider_greedy)
 
         (loss, aux), grads = grad_fn(self.params, batch, rng, hp, reward)
-        self.params = self.optim.step(self.params, grads, turn)
+        # non-finite guard (beyond the reference, which would silently diverge):
+        # skip the update and keep training rather than poisoning Adam state
+        if not np.isfinite(float(loss)):
+            self._nonfinite_steps = getattr(self, "_nonfinite_steps", 0) + 1
+            print(f"WARNING: non-finite loss at iteration {self.iteration}; "
+                  f"update skipped ({self._nonfinite_steps} so far)")
+        else:
+            self.params = self.optim.step(self.params, grads, turn)
 
         loss_dict = {k: float(v) for k, v in aux.items()}
         loss_dict.update(aux_host)

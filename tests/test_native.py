@@ -53,3 +53,31 @@ def test_meteor_parity():
                        for i in sorted(gts, key=str)])
     m_native, per_native = bindings.meteor(gts, res)
     np.testing.assert_allclose(per_native, per_py, atol=1e-12)
+
+
+def test_native_npy_npz_readers(tmp_path):
+    rng = np.random.RandomState(0)
+    fc = rng.randn(2048).astype(np.float32)
+    att = rng.randn(5, 7, 2048).astype(np.float32)
+    np.save(tmp_path / "101.npy", fc)
+    np.savez_compressed(tmp_path / "101.npz", feat=att)
+    np.savez(tmp_path / "102.npz", feat=att)  # stored (uncompressed) member
+    got_fc = bindings.read_npy(str(tmp_path / "101.npy"))
+    np.testing.assert_array_equal(got_fc, fc)
+    got_att = bindings.read_npz_feat(str(tmp_path / "101.npz"))
+    np.testing.assert_array_equal(got_att, att)
+    got_att2 = bindings.read_npz_feat(str(tmp_path / "102.npz"))
+    np.testing.assert_array_equal(got_att2, att)
+
+
+def test_dir_feature_source_uses_native(tmp_path):
+    from cooperativeimagecaptioning_tpu.data.sources import DirFeatureSource
+    rng = np.random.RandomState(1)
+    fc = rng.randn(64).astype(np.float32)
+    att = rng.randn(3, 16).astype(np.float32)
+    np.save(tmp_path / "7.npy", fc)
+    np.savez_compressed(tmp_path / "7.npz", feat=att)
+    src_fc = DirFeatureSource(str(tmp_path), ".npy")
+    src_att = DirFeatureSource(str(tmp_path), ".npz")
+    np.testing.assert_array_equal(src_fc.get("7"), fc)
+    np.testing.assert_array_equal(src_att.get("7"), att)

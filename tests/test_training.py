@@ -174,3 +174,24 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     tr2 = Trainer(opt2, dataset=ds, verbose=False)
     assert tr2.iteration == it_saved
     assert all(not c for c in leaves_changed(p_saved, tr2.params))
+
+
+def test_seq_per_img_replication():
+    """seq_per_img=5: fc feats replicated per caption, rewards index
+    gts[i % B // spi] correctly (ref dataloader.py:218, rewards.py:55)."""
+    opt = tiny_opt(phase=3, retrieval_reward="multinomial",
+                   retrieval_reward_weight=0.1, cider_optimization=0.9,
+                   caption_loss_weight=1, vse_loss_weight=0.1, seq_per_img=5,
+                   is_alternating=0)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    data = tr.loader.get_batch("train")
+    B = opt.batch_size * opt.seq_per_img
+    assert data["fc_feats"].shape[0] == B
+    assert data["labels"].shape[0] == B
+    # fc rows replicated within each image group
+    fc = data["fc_feats"]
+    assert np.array_equal(fc[0], fc[4])
+    assert not np.array_equal(fc[0], fc[5])
+    loss_dict, _, _ = tr.train_iteration(data=data)
+    assert np.isfinite(loss_dict["loss"])
+    assert "avg_reward" in loss_dict
