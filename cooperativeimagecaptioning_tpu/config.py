@@ -126,7 +126,8 @@ _FLAGS = [
     # ---- TPU-native additions (not in reference; defaults keep ref behavior) ----
     ("max_att_len", int, 0, "static att-feature padding length (0 = batch max; "
                             "set >0 to avoid XLA recompiles on TPU)"),
-    ("compute_dtype", str, "float32", "activation dtype: float32 | bfloat16"),
+    ("compute_dtype", str, "float32", "serving/decode dtype: float32 | "
+                                      "bfloat16 (training stays f32)"),
     ("mesh_data_axis", int, 0, "data-parallel mesh size (0 = all local devices)"),
     ("on_device_cider", int, 0, "hashed n-gram CIDEr-D reward fully on device"),
     ("prefetch_batches", int, 2, "host-side prefetch depth"),

@@ -35,9 +35,17 @@ class Evaluator:
     def _decode_fn(self, beam_size):
         if beam_size not in self._decode_fns:
             spk, opt = self.speaker, self.opt
+            dtype = jnp.bfloat16 if getattr(opt, "compute_dtype", "") == \
+                "bfloat16" else None
 
             def run(params, fc, att, att_masks):
                 sp = joint.speaker_view(params, opt)
+                if dtype is not None:  # serving precision (--compute_dtype)
+                    cast = lambda x: x.astype(dtype) \
+                        if x is not None and x.dtype == jnp.float32 else x
+                    sp = jax.tree.map(cast, sp)
+                    fc = cast(fc)
+                    att = cast(att)
                 ctx = spk.encode_features(sp, fc, att, att_masks)
                 if beam_size > 1:
                     out = decoding.beam_search(

@@ -116,11 +116,32 @@ def greedy_head_pallas(h, w, b, block_b: int = 256, block_v: int = 1024):
     return it[:, 0], lp[:, 0]
 
 
+@jax.custom_vjp
+def _pallas_head_nograd(h, w, b):
+    return greedy_head_pallas(h, w, b)
+
+
+def _head_fwd(h, w, b):
+    return greedy_head_pallas(h, w, b), (h, w, b)
+
+
+def _head_bwd(res, g):
+    # Greedy selections are non-differentiable (argmax) and every consumer
+    # stop-gradients the logprob (greedy baselines / rewards), so zero
+    # cotangents are exact here — this just makes the kernel legal inside
+    # grad graphs (e.g. the fused on-device-cider greedy baseline).
+    h, w, b = res
+    return (jnp.zeros_like(h), jnp.zeros_like(w), jnp.zeros_like(b))
+
+
+_pallas_head_nograd.defvjp(_head_fwd, _head_bwd)
+
+
 def greedy_head(h, w, b):
     """Dispatch: Pallas on TPU, reference math elsewhere."""
     if jax.devices()[0].platform in ("tpu", "axon"):
         try:
-            return greedy_head_pallas(h, w, b)
+            return _pallas_head_nograd(h, w, b)
         except Exception:
             return greedy_head_reference(h, w, b)
     return greedy_head_reference(h, w, b)

@@ -246,8 +246,13 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
                 params["listener"], opt, fc, att, _seqs, _masks,
                 whole_batch=True, only_one_retrieval=opt.only_one_retrieval)
             if opt.reinforce_baseline_type == "greedy":
-                gout = decoding.sample(spk, sp, ctx, opt.seq_length,
-                                       r["greedy"], mode="greedy", **kw)
+                # volatile=True in the ref (:255-258): no grad through the
+                # baseline decode — cut it out of the backward graph entirely
+                sg = jax.lax.stop_gradient
+                gout = decoding.sample(spk, sg(sp), jax.tree.map(
+                    lambda x: None if x is None else sg(x), ctx,
+                    is_leaf=lambda x: x is None), opt.seq_length,
+                    r["greedy"], mode="greedy", **kw)
                 g_seqs = _prepend_bos_ids(jax.lax.stop_gradient(gout.seq), V)
                 g_masks = losses.masks_from_seq(gout.seq)
                 baseline = vse.forward(
@@ -303,8 +308,11 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
         if getattr(opt, "on_device_cider", 0) and "refs" in batch:
             # fused performance tier: hashed-ngram CIDEr-D inside the step
             from cooperativeimagecaptioning_tpu.rewards import ngram_device
-            greedy = decoding.sample(spk, sp, ctx, opt.seq_length,
-                                     r["greedy"], mode="greedy", **kw).seq
+            sg = jax.lax.stop_gradient
+            greedy = decoding.sample(spk, sg(sp), jax.tree.map(
+                lambda x: None if x is None else sg(x), ctx,
+                is_leaf=lambda x: x is None), opt.seq_length,
+                r["greedy"], mode="greedy", **kw).seq
             scores, cider_gen, cider_greedy = \
                 ngram_device.ciderd_rewards_device(
                     jax.lax.stop_gradient(gen_seq),

@@ -240,3 +240,17 @@ def test_beam_search_improves_logprob():
     p1 = total_p(decoding.beam_search(att_model, params, ctx, opt.seq_length, 1))
     p3 = total_p(decoding.beam_search(att_model, params, ctx, opt.seq_length, 3))
     assert np.all(p3 >= p1 - 1e-5)
+
+
+def test_fc_beam1_equals_greedy():
+    """FC model (image prefix step) beam_size=1 == greedy."""
+    opt = small_opt()
+    params = fc_model.init_params(jax.random.PRNGKey(11), opt)
+    B = 4
+    fc = jnp.asarray(np.random.RandomState(12).randn(
+        B, opt.fc_feat_size).astype(np.float32))
+    ctx = fc_model.encode_features(params, fc, None, None)
+    greedy = decoding.sample(fc_model, params, ctx, opt.seq_length,
+                             jax.random.PRNGKey(0), mode="greedy")
+    beam = decoding.beam_search(fc_model, params, ctx, opt.seq_length, 1)
+    np.testing.assert_array_equal(np.asarray(beam.seq), np.asarray(greedy.seq))
