@@ -78,6 +78,9 @@ def ptb_tokenize(captions_for_image: dict) -> dict:
     payload = "\n".join(lines).encode("utf-8", "replace")
     out_lines = lib.cic_tokenize(payload).decode("utf-8").split("\n") \
         if lines else []
+    # the C line loop drops trailing empty lines (e.g. a model emitting an
+    # empty caption); pad — tokenize("") == "" so this is exact
+    out_lines += [""] * (len(keys) - len(out_lines))
     out = {k: [] for k in captions_for_image}
     for k, line in zip(keys, out_lines):
         out[k].append(line)

@@ -81,3 +81,11 @@ def test_dir_feature_source_uses_native(tmp_path):
     src_att = DirFeatureSource(str(tmp_path), ".npz")
     np.testing.assert_array_equal(src_fc.get("7"), fc)
     np.testing.assert_array_equal(src_att.get("7"), att)
+
+
+def test_tokenizer_empty_and_trailing_empty_captions():
+    """Empty captions (untrained models emit these) must survive batching."""
+    caps = {0: [{"caption": ""}], 1: [{"caption": "a man"}],
+            2: [{"caption": ""}]}
+    out = bindings.ptb_tokenize(caps)
+    assert out == {0: [""], 1: ["a man"], 2: [""]}
