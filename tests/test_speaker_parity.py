@@ -254,3 +254,42 @@ def test_fc_beam1_equals_greedy():
                              jax.random.PRNGKey(0), mode="greedy")
     beam = decoding.beam_search(fc_model, params, ctx, opt.seq_length, 1)
     np.testing.assert_array_equal(np.asarray(beam.seq), np.asarray(greedy.seq))
+
+
+def test_teacher_forced_logprobs_parity():
+    """Teacher-forced forward matches the reference's per-step log-softmax
+    chain (no scheduled sampling, no dropout) — stepping the torch core
+    manually since the reference forward() uses torch-0.4-only APIs."""
+    opt = small_opt(caption_model="att2in2")
+    torch.manual_seed(21)
+    tm = REF["AttModel"].Att2in2Model(NS(opt)).eval()
+    params = copy_att_weights(tm, att_model.init_params(jax.random.PRNGKey(0), opt))
+
+    B, K, L = 5, 7, 10
+    rng = np.random.RandomState(22)
+    fc = rng.randn(B, opt.fc_feat_size).astype(np.float32)
+    att = rng.randn(B, K, opt.att_feat_size).astype(np.float32)
+    labels = np.zeros((B, L + 2), np.int64)
+    for i in range(B):
+        n = rng.randint(2, L + 1)
+        labels[i, 1:1 + n] = rng.randint(1, opt.vocab_size + 1, n)
+
+    import torch.nn.functional as F
+    with torch.no_grad():
+        t_att = torch.from_numpy(att)
+        emb = tm.att_embed(t_att)
+        p_att = tm.ctx2att(emb)
+        state = (torch.zeros(1, B, opt.rnn_size),
+                 torch.zeros(1, B, opt.rnn_size))
+        outs = []
+        for i in range(L + 1):  # inputs labels[:, :-1] (ref AttModel.py:116-141)
+            xt = tm.embed(torch.from_numpy(labels[:, i]))
+            out, state = tm.core(xt, None, emb, p_att, None, state)
+            outs.append(F.log_softmax(tm.logit(out), dim=1))
+        want = torch.stack(outs, 1).numpy()
+
+    ctx = att_model.encode_features(params, jnp.asarray(fc), jnp.asarray(att),
+                                    None)
+    got = np.asarray(decoding.teacher_forced_logprobs(
+        att_model, params, ctx, jnp.asarray(labels[:, :-1])))
+    np.testing.assert_allclose(got, want, atol=2e-5)
