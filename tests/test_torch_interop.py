@@ -1,0 +1,77 @@
+"""Reference torch checkpoint conversion: converted params decode identically."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cooperativeimagecaptioning_tpu.models import att_model, fc_model, vse
+from cooperativeimagecaptioning_tpu.ops import decoding
+from cooperativeimagecaptioning_tpu.utils import torch_interop
+
+torch = pytest.importorskip("torch")
+
+from ref_bridge import load_reference  # noqa: E402
+from test_speaker_parity import small_opt, NS  # noqa: E402
+from test_listener_parity import vse_opt  # noqa: E402
+
+REF = load_reference()
+
+
+def test_convert_att_model_checkpoint_decodes_identically():
+    opt = small_opt(caption_model="att2in2")
+    torch.manual_seed(31)
+    tm = REF["AttModel"].Att2in2Model(NS(opt)).eval()
+    sd = tm.state_dict()
+    params = jax.tree.map(
+        jnp.asarray, torch_interop.convert_state_dict(sd, "att2in2",
+                                                      has_listener=False))
+    rng = np.random.RandomState(32)
+    B, K = 4, 6
+    fc = rng.randn(B, opt.fc_feat_size).astype(np.float32)
+    att = rng.randn(B, K, opt.att_feat_size).astype(np.float32)
+    with torch.no_grad():
+        t_seq, _ = tm.sample(torch.from_numpy(fc), torch.from_numpy(att),
+                             None, {"sample_max": 1, "beam_size": 1})
+    ctx = att_model.encode_features(params["speaker"], jnp.asarray(fc),
+                                    jnp.asarray(att), None)
+    out = decoding.sample(att_model, params["speaker"], ctx, opt.seq_length,
+                          jax.random.PRNGKey(0), mode="greedy")
+    T = t_seq.shape[1]
+    np.testing.assert_array_equal(np.asarray(out.seq)[:, :T], t_seq.numpy())
+
+
+def test_convert_fc_model_checkpoint():
+    opt = small_opt(caption_model="fc")
+    torch.manual_seed(33)
+    tm = REF["FCModel"].FCModel(NS(opt)).eval()
+    params = torch_interop.convert_state_dict(tm.state_dict(), "fc",
+                                              has_listener=False)
+    assert params["speaker"]["img_embed"]["w"].shape == (opt.fc_feat_size,
+                                                         opt.input_encoding_size)
+    assert params["speaker"]["embed"].shape == (opt.vocab_size + 2,
+                                                opt.input_encoding_size)
+
+
+def test_convert_joint_checkpoint_with_listener():
+    opt = vse_opt()
+    opt.caption_model = "att2in2"
+    for k, v in vars(small_opt(caption_model="att2in2")).items():
+        if not hasattr(opt, k) or getattr(opt, k) in (None, 0, ""):
+            setattr(opt, k, v)
+    opt.vocab_size = 19
+    torch.manual_seed(34)
+    tvse = REF["VSEFCModel"].VSEFCModel(NS(opt)).eval()
+    tcap = REF["AttModel"].Att2in2Model(NS(opt)).eval()
+    sd = {("caption_generator." + k): v for k, v in tcap.state_dict().items()}
+    sd.update({("vse." + k): v for k, v in tvse.state_dict().items()})
+    params = jax.tree.map(jnp.asarray,
+                          torch_interop.convert_state_dict(sd, "att2in2"))
+    # listener encoders match
+    rng = np.random.RandomState(35)
+    fcf = rng.randn(5, opt.fc_feat_size).astype(np.float32)
+    with torch.no_grad():
+        want = tvse.img_enc(torch.from_numpy(fcf)).numpy()
+    got = np.asarray(vse.encode_image(params["listener"], opt,
+                                      jnp.asarray(fcf)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
