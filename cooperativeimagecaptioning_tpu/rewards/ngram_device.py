@@ -112,8 +112,11 @@ def ciderd_rewards_device(gen, greedy, refs, ref_mask, seq_per_img=1,
         eq_rr = (gr[..., :, None] == gr[..., None, :]).astype(jnp.float32)
         tf_r = jnp.einsum("zrij,zrj->zri", eq_rr, vr)
 
-        # document frequency over the expanded ref list.  contains[q, z] =
-        # image z has gram q in any ref.
+        # Document frequency over the expanded ref list.  contains[q, z] =
+        # image z has gram q in any ref.  The dense containment matrix is
+        # O(Q*N) but beats a sort+searchsorted formulation on TPU (measured
+        # 6.0 vs 4.0 it/s at B=1024 — the VPU eats dense compares; sorts and
+        # binary-search gathers are latency-bound).
         flat_gr = gr.reshape(n_img, R * Lr)
         flat_vr = vr.reshape(n_img, R * Lr)
 
