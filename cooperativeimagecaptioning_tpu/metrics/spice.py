@@ -138,6 +138,13 @@ def sentence_spice(hyp: str, refs: list) -> dict:
 def compute_spice(gts: dict, res: dict):
     """coco-caption contract: (corpus mean F, per-image dicts)."""
     ids = sorted(gts.keys(), key=lambda x: str(x))
-    per_image = [sentence_spice(res[i][0], gts[i]) for i in ids]
+    scorer = sentence_spice
+    try:
+        from cooperativeimagecaptioning_tpu.native import bindings
+        if bindings.available():
+            scorer = bindings.spice_sentence
+    except Exception:
+        pass
+    per_image = [scorer(res[i][0], gts[i]) for i in ids]
     mean_f = float(np.mean([p["All"]["f"] for p in per_image]))
     return mean_f, per_image

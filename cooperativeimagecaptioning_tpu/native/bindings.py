@@ -14,7 +14,8 @@ import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "cic_native.cpp"),
-         os.path.join(_HERE, "cic_io.cpp")]
+         os.path.join(_HERE, "cic_io.cpp"),
+         os.path.join(_HERE, "cic_spice.cpp")]
 _SRC = _SRCS[0]
 _SO = os.path.join(_HERE, "libcic_native.so")
 _lock = threading.Lock()
@@ -59,6 +60,9 @@ def _load():
                            ctypes.c_int64,
                            ctypes.POINTER(ctypes.c_int64)]
             fn.restype = ctypes.c_int
+        lib.cic_spice.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_double)]
+        lib.cic_spice.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -121,6 +125,18 @@ def read_npy(path: str, max_elems: int = 1 << 24):
     shp = tuple(int(s) for s in shape[:ndim])
     n = int(np.prod(shp))
     return buf[:n].reshape(shp).copy()
+
+
+def spice_sentence(hyp: str, refs: list) -> dict:
+    """Same contract as metrics.spice.sentence_spice."""
+    lib = _load()
+    out = (ctypes.c_double * 12)()
+    payload = (hyp + "\x02" + "\x01".join(refs)).encode("utf-8", "replace")
+    if lib.cic_spice(payload, out) != 0:
+        raise ValueError("bad spice payload")
+    cats = ("All", "Object", "Attribute", "Relation")
+    return {c: {"p": out[3 * i], "r": out[3 * i + 1], "f": out[3 * i + 2]}
+            for i, c in enumerate(cats)}
 
 
 def read_npz_feat(path: str, max_elems: int = 1 << 24):

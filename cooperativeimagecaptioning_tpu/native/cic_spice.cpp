@@ -1,0 +1,209 @@
+// cic_spice: C++ SPICE-lite scorer (replaces spice-1.0.jar; the behavioral
+// specification is metrics/spice.py — both implementations must agree exactly,
+// tests/test_native.py).
+//
+// Shallow caption parse -> scene-graph tuples (object / attribute / relation,
+// Porter-stemmed) -> per-category F1 of candidate tuples vs the union of
+// reference tuples.
+//
+// Entry: cic_spice(payload, out[12]) with payload = hyp '\x02' ref1 '\x01'
+// ref2 ...; out = {All,Object,Attribute,Relation} x {p,r,f}.
+
+#include <algorithm>
+#include <tuple>
+#include <cstring>
+#include <set>
+#include <string>
+#include <vector>
+
+extern "C" const char* cic_porter_stem(const char* word);
+
+namespace {
+
+const std::set<std::string>& determiners() {
+  static std::set<std::string> s = {
+      "a", "an", "the", "this", "that", "these", "those", "some", "any",
+      "each", "every", "no", "another", "its", "his", "her", "their", "our",
+      "my", "your"};
+  return s;
+}
+
+const std::set<std::string>& prepositions() {
+  static std::set<std::string> s = {
+      "in", "on", "at", "of", "with", "by", "for", "from", "to", "into",
+      "onto", "over", "under", "above", "below", "near", "beside", "between",
+      "behind", "through", "across", "around", "against", "along", "inside",
+      "outside", "next", "atop", "amid", "among", "off", "up", "down", "out"};
+  return s;
+}
+
+const std::set<std::string>& copulas() {
+  static std::set<std::string> s = {"is", "are", "was", "were", "be", "been",
+                                    "being", "seems", "looks", "appears"};
+  return s;
+}
+
+const std::set<std::string>& conjunctions() {
+  static std::set<std::string> s = {"and", "or", "while", "as", "that",
+                                    "which", "who"};
+  return s;
+}
+
+const std::set<std::string>& common_verbs() {
+  static std::set<std::string> s = {
+      "has", "have", "had", "holds", "holding", "hold", "wears", "wearing",
+      "wear", "sits", "sitting", "sit", "stands", "standing", "stand",
+      "rides", "riding", "ride", "walks", "walking", "walk", "runs",
+      "running", "run", "plays", "playing", "play", "eats", "eating", "eat",
+      "drinks", "drinking", "drink", "jumps", "jumping", "jump", "flies",
+      "flying", "fly", "looks", "looking", "look", "carries", "carrying",
+      "carry", "uses", "using", "use", "throws", "throwing", "throw",
+      "catches", "catching", "catch", "hangs", "hanging", "hang", "lies",
+      "lying", "lie", "leans", "leaning", "parked", "covered", "filled",
+      "topped", "surrounded"};
+  return s;
+}
+
+const std::set<std::string>& noun_ing_exceptions() {
+  static std::set<std::string> s = {
+      "building", "painting", "clothing", "ceiling", "lightning", "morning",
+      "evening", "dining", "living", "wedding", "railing", "awning", "icing"};
+  return s;
+}
+
+bool is_verb(const std::string& tok) {
+  if (copulas().count(tok) || common_verbs().count(tok)) return true;
+  if (tok.size() > 4 && tok.compare(tok.size() - 3, 3, "ing") == 0 &&
+      !noun_ing_exceptions().count(tok))
+    return true;
+  return false;
+}
+
+std::vector<std::string> tokenize_lower(const std::string& s) {
+  std::vector<std::string> out;
+  std::string cur;
+  for (char ch : s) {
+    if (isspace((unsigned char)ch)) {
+      if (!cur.empty()) out.push_back(cur);
+      cur.clear();
+    } else {
+      cur += (char)tolower((unsigned char)ch);
+    }
+  }
+  if (!cur.empty()) out.push_back(cur);
+  return out;
+}
+
+std::string stem(const std::string& w) { return cic_porter_stem(w.c_str()); }
+
+// tuples serialized as tagged strings: "O\x1f<head>", "A\x1f<head>\x1f<attr>",
+// "R\x1f<s>\x1f<rel>\x1f<o>"
+void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
+  auto toks = tokenize_lower(caption);
+  std::vector<std::pair<std::vector<std::string>, std::string>> chunks;
+  std::vector<std::string> cur;
+  int pending_subj = -1;
+  bool have_rel = false;
+  std::string pending_rel;
+  std::vector<std::tuple<int, std::string, int>> relations;
+
+  auto close_chunk = [&]() {
+    if (cur.empty()) return;
+    std::string head = cur.back();
+    std::vector<std::string> attrs(cur.begin(), cur.end() - 1);
+    chunks.push_back({attrs, head});
+    if (have_rel && pending_subj >= 0) {
+      relations.emplace_back(pending_subj, pending_rel,
+                             (int)chunks.size() - 1);
+      have_rel = false;
+    }
+    cur.clear();
+  };
+
+  for (const auto& tok : toks) {
+    if (determiners().count(tok) || conjunctions().count(tok)) {
+      close_chunk();
+    } else if (prepositions().count(tok)) {
+      close_chunk();
+      if (!chunks.empty()) {
+        pending_subj = (int)chunks.size() - 1;
+        pending_rel = tok;
+        have_rel = true;
+      }
+    } else if (is_verb(tok)) {
+      close_chunk();
+      if (!chunks.empty()) {
+        pending_subj = (int)chunks.size() - 1;
+        if (!copulas().count(tok)) {
+          pending_rel = tok;
+          have_rel = true;
+        } else {
+          have_rel = false;
+        }
+      }
+    } else {
+      cur.push_back(tok);
+    }
+  }
+  close_chunk();
+
+  for (auto& [attrs, head] : chunks) {
+    std::string h = stem(head);
+    tuples.insert("O\x1f" + h);
+    for (auto& a : attrs) tuples.insert("A\x1f" + h + "\x1f" + stem(a));
+  }
+  for (auto& [si, rel, oi] : relations) {
+    if (si < (int)chunks.size() && oi < (int)chunks.size())
+      tuples.insert("R\x1f" + stem(chunks[si].second) + "\x1f" + stem(rel) +
+                    "\x1f" + stem(chunks[oi].second));
+  }
+}
+
+void f1(const std::set<std::string>& cand, const std::set<std::string>& ref,
+        char tag, double* out) {
+  std::set<std::string> c, r;
+  for (auto& t : cand)
+    if (tag == 0 || t[0] == tag) c.insert(t);
+  for (auto& t : ref)
+    if (tag == 0 || t[0] == tag) r.insert(t);
+  if (c.empty() || r.empty()) {
+    out[0] = out[1] = out[2] = 0.0;
+    return;
+  }
+  int inter = 0;
+  for (auto& t : c) inter += r.count(t);
+  double p = (double)inter / c.size();
+  double rr = (double)inter / r.size();
+  out[0] = p;
+  out[1] = rr;
+  out[2] = (p + rr > 0) ? 2 * p * rr / (p + rr) : 0.0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// payload: hyp '\x02' ref1 '\x01' ref2 ...
+// out: 12 doubles = {All, Object, Attribute, Relation} x {p, r, f}
+int cic_spice(const char* payload, double* out) {
+  const char* sep = strchr(payload, '\x02');
+  if (!sep) return -1;
+  std::string hyp(payload, sep - payload);
+  std::set<std::string> cand, ref;
+  parse_tuples(hyp, cand);
+  const char* p = sep + 1;
+  while (*p) {
+    const char* e = strchr(p, '\x01');
+    size_t len = e ? (size_t)(e - p) : strlen(p);
+    parse_tuples(std::string(p, len), ref);
+    if (!e) break;
+    p = e + 1;
+  }
+  f1(cand, ref, 0, out);        // All
+  f1(cand, ref, 'O', out + 3);  // Object
+  f1(cand, ref, 'A', out + 6);  // Attribute
+  f1(cand, ref, 'R', out + 9);  // Relation
+  return 0;
+}
+
+}  // extern "C"

@@ -89,3 +89,25 @@ def test_tokenizer_empty_and_trailing_empty_captions():
             2: [{"caption": ""}]}
     out = bindings.ptb_tokenize(caps)
     assert out == {0: [""], 1: ["a man"], 2: [""]}
+
+
+def test_spice_cpp_parity():
+    """C++ SPICE-lite must agree exactly with the Python specification."""
+    from cooperativeimagecaptioning_tpu.metrics import spice as pyspice
+    cases = [
+        ("a young man riding a red bike in the park",
+         ["a man rides a bicycle", "the man is on a red bike in a park"]),
+        ("two dogs play in the green grass",
+         ["dogs playing on grass", "a dog runs through a field"]),
+        ("", ["a cat"]),
+        ("a painting of the old building hanging on a wall",
+         ["an old painting on the wall of a building"]),
+        ("woman wearing a blue dress holding an umbrella",
+         ["a woman in a blue dress holds an umbrella"]),
+    ]
+    for hyp, refs in cases:
+        want = pyspice.sentence_spice(hyp, refs)
+        got = bindings.spice_sentence(hyp, refs)
+        for cat in ("All", "Object", "Attribute", "Relation"):
+            for k in ("p", "r", "f"):
+                assert abs(got[cat][k] - want[cat][k]) < 1e-12, (hyp, cat, k)
