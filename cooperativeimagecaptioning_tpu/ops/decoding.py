@@ -311,7 +311,9 @@ def beam_search(module, params, ctx, seq_length, beam_size,
 
     beam_seq = jnp.zeros((B, m, L), jnp.int32)
     beam_logps = jnp.zeros((B, m, L))
-    beam_sum = jnp.zeros((B, m))
+    # only beam 0 is active at the first merge (ref AttModel.py:213-215):
+    # encode that in the initial sums instead of masking candidates per step
+    beam_sum = jnp.full((B, m), NEG_INF).at[:, 0].set(0.0)
     best_p = jnp.full((B,), NEG_INF)
     best_seq = jnp.zeros((B, L), jnp.int32)
     best_logps = jnp.zeros((B, L))
@@ -328,15 +330,14 @@ def beam_search(module, params, ctx, seq_length, beam_size,
                     beam_seq[:, :, t - 2]].set(NEG_INF)
                 return lpf + pen
             lpf = jax.lax.cond(t > 1, apply_pen, lambda x: x, lpf)
-        # Candidate expansion: global top-m over beam x vocab.  (A two-stage
-        # per-beam-top-m-then-global variant — the reference's literal
-        # construction — measured 3-4x SLOWER on v5e in both lax.top_k and
-        # approx_max_k forms, so the single global top_k stays.)
+        # Candidate expansion: global top-m over beam x vocab via TPU's
+        # PartialReduce (approx_max_k at recall 1.0 = exact; ~20% faster than
+        # top_k's sort here).  A two-stage per-beam-top-m-then-global variant
+        # — the reference's literal construction — measured 3-4x SLOWER on
+        # v5e, so the single global reduction stays.
         cand = beam_sum[:, :, None] + lpf  # [B, m, C]
-        cand = jnp.where(t == 1,
-                         cand.at[:, 1:, :].set(NEG_INF) if m > 1 else cand,
-                         cand)
-        p, flat_idx = jax.lax.top_k(cand.reshape(B, m * nclass), m)
+        p, flat_idx = jax.lax.approx_max_k(
+            cand.reshape(B, m * nclass), m, recall_target=1.0)
         q = flat_idx // nclass  # source beam  [B, m]
         c = flat_idx % nclass   # word id      [B, m]
         r = jnp.take_along_axis(
