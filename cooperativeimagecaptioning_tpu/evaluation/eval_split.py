@@ -7,8 +7,6 @@ Functional: takes the joint param tree; jitted decode/loss fns are cached per
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import jax
 import jax.numpy as jnp
 import numpy as np

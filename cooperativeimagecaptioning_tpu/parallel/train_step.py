@@ -10,7 +10,6 @@ all-gathers over ICI.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cooperativeimagecaptioning_tpu import models as model_zoo

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from cooperativeimagecaptioning_tpu.rewards.ngram_device import (
-    _eff_len, _gram_hashes, NS)
+    _gram_hashes, NS)
 
 
 def soft_cider_scores(res, refs, ref_mask, ref_len_log=None, eps=1e-20):
