@@ -24,6 +24,10 @@ def _histories_path(run_dir, run_id):
         return p
     cands = [f for f in os.listdir(run_dir) if f.startswith("histories_")
              and f.endswith(".pkl")]
+    if not cands:
+        raise FileNotFoundError(
+            f"no histories_*.pkl in {run_dir} — the run never reached a "
+            f"checkpoint (save_checkpoint_every iterations)")
     assert len(cands) == 1, f"ambiguous histories files in {run_dir}: {cands}"
     return os.path.join(run_dir, cands[0])
 
@@ -130,7 +134,11 @@ def create_dicts_and_json_after_training(opt, dataset=None, ann_file=None,
     """ref :459-475 — val/test dict pkls + json report after a joint run."""
     run_dir = opt.checkpoint_path if not isinstance(opt, str) else opt
     run_id = getattr(opt, "id", "") if not isinstance(opt, str) else ""
-    metrics = create_model_metrics(run_dir, run_id)
+    try:
+        metrics = create_model_metrics(run_dir, run_id)
+    except FileNotFoundError as e:
+        print(f"results harvesting skipped: {e}")
+        return None
     remove_unnecessary_models(metrics, run_dir)
     with open(os.path.join(run_dir, "val_dict.pkl"), "wb") as f:
         pickle.dump(metrics, f)

@@ -1,0 +1,62 @@
+"""CLI smoke of the stage drivers (scripts/run_fc_con.py, run_att.py) on tiny
+on-disk data — catches arg-plumbing breakage the unit tests can't."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+sys.path.insert(0, "/root/repo")
+from cooperativeimagecaptioning_tpu.preprocess import labels as prepro  # noqa
+
+
+def tiny_disk_dataset(tmp_path, fc_dim=2048, att_dim=2048, n_imgs=8):
+    rng = np.random.RandomState(0)
+    words = ["a", "man", "dog", "rides", "bike", "red", "park"]
+    imgs = []
+    for i in range(n_imgs):
+        sents = [{"tokens": list(rng.choice(words, 5))} for _ in range(5)]
+        sents.append({"tokens": words})
+        imgs.append({"sentences": sents, "cocoid": 900 + i,
+                     "split": ["train", "train", "val", "test"][i % 4],
+                     "filepath": "val2014", "filename": f"im{i}.jpg"})
+    src = tmp_path / "raw.json"
+    with open(src, "w") as f:
+        json.dump({"images": imgs}, f)
+    out_json = str(tmp_path / "cocotalk.json")
+    out_h5 = str(tmp_path / "cocotalk_label.h5")
+    prepro.prepro_labels(str(src), out_json, out_h5, max_length=6)
+    fc_dir = tmp_path / "fc"
+    att_dir = tmp_path / "att"
+    fc_dir.mkdir(); att_dir.mkdir()
+    for i in range(n_imgs):
+        np.save(fc_dir / f"{900 + i}.npy", rng.randn(fc_dim)
+                .astype(np.float32))
+        np.savez_compressed(att_dir / f"{900 + i}.npz",
+                            feat=rng.randn(4, att_dim).astype(np.float32))
+    return out_json, out_h5, str(fc_dir), str(att_dir)
+
+
+def test_run_fc_con_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out_json, out_h5, fc_dir, att_dir = tiny_disk_dataset(tmp_path)
+    from scripts import run_fc_con
+    run_fc_con.main([
+        "-b", "4", "--max-epochs", "1", "--root-dir", str(tmp_path / "runs"),
+        "--input-json", out_json, "--input-label-h5", out_h5,
+        "--input-fc-dir", fc_dir, "--input-att-dir", att_dir])
+    import os
+    assert os.path.isdir(tmp_path / "runs" / "log_fc_con")
+
+
+def test_run_att_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out_json, out_h5, fc_dir, att_dir = tiny_disk_dataset(tmp_path)
+    from scripts import run_att
+    run_att.main([
+        "-b", "4", "--max-epochs", "1", "--root-dir", str(tmp_path / "runs"),
+        "--input-json", out_json, "--input-label-h5", out_h5,
+        "--input-fc-dir", fc_dir, "--input-att-dir", att_dir])
