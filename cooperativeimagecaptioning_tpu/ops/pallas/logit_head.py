@@ -116,13 +116,65 @@ def greedy_head_pallas(h, w, b, block_b: int = 256, block_v: int = 1024):
     return it[:, 0], lp[:, 0]
 
 
-@jax.custom_vjp
-def _pallas_head_nograd(h, w, b):
+def _kernel_resident(h_ref, w_ref, b_ref, it_ref, lp_ref):
+    """Whole-W-resident variant: W (bf16, ~10MB at reference dims) lives in
+    VMEM across all batch tiles (constant index map), so per step it is read
+    from HBM once instead of once per batch tile."""
+    logits = jnp.dot(h_ref[:], w_ref[:],
+                     preferred_element_type=jnp.float32) + b_ref[:]
+    m = jnp.max(logits, axis=1, keepdims=True)
+    it_ref[:] = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
+    lp_ref[:] = m - lse
+
+
+@functools.partial(jax.jit, static_argnames=("block_b",))
+def greedy_head_pallas_resident(h, w, b, block_b: int = 64):
+    B, H = h.shape
+    V = w.shape[1]
+    bb = min(block_b, B)
+    while B % bb:
+        bb //= 2
+    V_pad = -(-V // 128) * 128
+    if V_pad != V:
+        w = jnp.pad(w, ((0, 0), (0, V_pad - V)))
+        b = jnp.pad(b, (0, V_pad - V), constant_values=NEG)
+    it, lp = pl.pallas_call(
+        _kernel_resident,
+        grid=(B // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ],
+    )(h, w, b.reshape(1, -1))
+    return it[:, 0], lp[:, 0]
+
+
+def _pick_pallas_head(h, w, b):
+    # resident variant needs W in VMEM: bf16 + V*H*2 bytes within ~11MB
+    if w.dtype == jnp.bfloat16 and w.shape[0] * w.shape[1] * 2 <= 11 << 20:
+        return greedy_head_pallas_resident(h, w, b)
     return greedy_head_pallas(h, w, b)
 
 
+@jax.custom_vjp
+def _pallas_head_nograd(h, w, b):
+    return _pick_pallas_head(h, w, b)
+
+
 def _head_fwd(h, w, b):
-    return greedy_head_pallas(h, w, b), (h, w, b)
+    return _pick_pallas_head(h, w, b), (h, w, b)
 
 
 def _head_bwd(res, g):
