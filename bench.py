@@ -121,9 +121,10 @@ def main():
         batch = min(batch, 64)
     try:
         best = bench_once(batch, dtype)
-    except Exception as e:
+    except Exception as e:  # keep the driver run alive on any compile issue
         print(f"bench batch={batch} failed: {e}", file=sys.stderr)
         best = bench_once(max(64, batch // 8), dtype)
+    # single config keeps total wall time ~6 min (first compile dominates)
     baseline = 5000.0  # north-star target captions/sec/chip (BASELINE.json)
     out = {
         "metric": "captions_per_sec_per_chip_beam1",
