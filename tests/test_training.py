@@ -195,3 +195,18 @@ def test_seq_per_img_replication():
     loss_dict, _, _ = tr.train_iteration(data=data)
     assert np.isfinite(loss_dict["loss"])
     assert "avg_reward" in loss_dict
+
+
+def test_phase1_checkpoint_operations(tmp_path, monkeypatch):
+    """Phase-1 checkpoint ops: dual-split rank eval + nested vse criterion
+    (ref: eval_utils.py:259-267, train.py:262-282)."""
+    monkeypatch.chdir(tmp_path)
+    opt = tiny_opt(caption_model="fc", phase=1, vse_loss_weight=1,
+                   caption_loss_weight=0, rank_eval=1, language_eval=0,
+                   checkpoint_path=str(tmp_path), id="p1", val_images_use=-1)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    tr.train_iteration()
+    val_loss, lang_stats = tr.checkpoint_operations()
+    assert "val" in val_loss and "test" in val_loss  # dual-split ranking
+    assert "rsum" in val_loss["val"]
+    assert tr.best_val_score_vse is not None
