@@ -30,11 +30,17 @@ class Evaluator:
         self._encode_fn = None
 
     # -- jitted pieces -------------------------------------------------------
-    def _decode_fn(self, beam_size):
-        if beam_size not in self._decode_fns:
+    def _decode_fn(self, beam_size, sample_max=1, temperature=1.0):
+        """Decode program for the eval protocol.  sample_max semantics follow
+        the reference (FCModel.py:262-301): 1 = greedy, 2 = gumbel-noise max,
+        0 = multinomial at `temperature`; beam_size > 1 overrides."""
+        key = (beam_size, sample_max, float(temperature))
+        if key not in self._decode_fns:
             spk, opt = self.speaker, self.opt
             dtype = jnp.bfloat16 if getattr(opt, "compute_dtype", "") == \
                 "bfloat16" else None
+            mode = {1: "greedy", 2: "gumbel_noise_max"}.get(
+                int(sample_max), "sample")
 
             def run(params, fc, att, att_masks):
                 sp = joint.speaker_view(params, opt)
@@ -52,11 +58,11 @@ class Evaluator:
                 else:
                     out = decoding.sample(
                         spk, sp, ctx, opt.seq_length, jax.random.PRNGKey(123),
-                        mode="greedy",
+                        mode=mode, temperature=temperature,
                         decoding_constraint=opt.decoding_constraint)
                 return out.seq, out.logprobs
-            self._decode_fns[beam_size] = jax.jit(run)
-        return self._decode_fns[beam_size]
+            self._decode_fns[key] = jax.jit(run)
+        return self._decode_fns[key]
 
     def loss_fn(self, params, batch, reward):
         if self._loss_fn is None:
@@ -117,6 +123,8 @@ class Evaluator:
         lang_eval = ek.get("language_eval", opt.language_eval)
         rank_eval = ek.get("rank_eval", opt.rank_eval)
         beam_size = int(ek.get("beam_size", opt.beam_size))
+        sample_max = ek.get("sample_max", 1)
+        temperature = ek.get("temperature", 1.0)
         verbose = ek.get("verbose", False)
 
         np.random.seed(123)  # determinism pin (ref: eval_utils.py:105)
@@ -125,7 +133,7 @@ class Evaluator:
         losses_acc = {}
         loss_evals = 1e-8
         predictions = []
-        decode = self._decode_fn(beam_size)
+        decode = self._decode_fn(beam_size, sample_max, temperature)
         while True:
             data = loader.get_batch(split)
             n += loader.batch_size

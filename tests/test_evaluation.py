@@ -92,3 +92,15 @@ def test_encode_data_counts(tmp_path):
     img_g, cap_g, _ = ev.encode_data(params, loader, {"split": "val"},
                                      use_gen_sent=True)
     assert img_g.shape[0] == n_val
+
+
+def test_eval_split_sampling_modes(tmp_path, monkeypatch):
+    """sample_max=0 (multinomial) and 2 (gumbel-noise max) eval protocols."""
+    monkeypatch.chdir(tmp_path)
+    opt, loader, params = build(tmp_path, language_eval=0, rank_eval=0)
+    ev = Evaluator(opt)
+    for sm in (0, 2):
+        losses, preds, _ = ev.eval_split(
+            params, loader, {"split": "val", "sample_max": sm,
+                             "temperature": 0.8})
+        assert len(preds) == len(loader.split_ix["val"])
