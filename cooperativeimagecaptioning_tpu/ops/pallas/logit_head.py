@@ -162,6 +162,8 @@ def greedy_head_pallas_resident(h, w, b, block_b: int = 64):
 
 
 def _pick_pallas_head(h, w, b):
+    if h.shape[0] % 8:  # awkward batch tiles: keep the pure-XLA math
+        return greedy_head_reference(h, w, b)
     # resident variant needs W in VMEM: bf16 + V*H*2 bytes within ~11MB
     if w.dtype == jnp.bfloat16 and w.shape[0] * w.shape[1] * 2 <= 11 << 20:
         return greedy_head_pallas_resident(h, w, b)
