@@ -174,18 +174,14 @@ class Trainer:
             aux_host["cider_greedy"] = float(cider_greedy)
 
         (loss, aux), grads = grad_fn(self.params, batch, rng, hp, reward)
-        # non-finite guard (beyond the reference, which would silently diverge):
-        # skip the update and keep training rather than poisoning Adam state
-        if not np.isfinite(float(loss)):
-            self._nonfinite_steps = getattr(self, "_nonfinite_steps", 0) + 1
-            print(f"WARNING: non-finite loss at iteration {self.iteration}; "
-                  f"update skipped ({self._nonfinite_steps} so far)")
-        else:
-            self.params = self.optim.step(self.params, grads, turn)
+        # non-finite guard runs on DEVICE inside the optimizer update (a bad
+        # step leaves params + Adam state untouched); nothing here forces a
+        # host sync, so iterations pipeline on the device
+        self.params = self.optim.step(self.params, grads, turn)
 
-        loss_dict = {k: float(v) for k, v in aux.items()}
+        loss_dict = dict(aux)  # device scalars; converted lazily by loggers
         loss_dict.update(aux_host)
-        loss_dict["loss"] = float(loss)
+        loss_dict["loss"] = loss
 
         # iteration/epoch bookkeeping (ref: train.py:229-235)
         self.iteration += 1
@@ -287,12 +283,12 @@ class Trainer:
                 profiling = False
             if self.verbose:
                 dur = time.time() - start
-                msg = " ".join(f"{k} = {round(v, 2)}"
+                msg = " ".join(f"{k} = {round(float(v), 2)}"
                                for k, v in sorted(loss_dict.items()))
                 print(f"iter {self.iteration} (epoch {self.epoch}) [{turn}] "
                       f"{msg} time/batch = {dur:.2f}s")
             if self.iteration % opt.losses_log_every == 0:
-                self.loss_history[self.iteration] = loss_dict["loss"]
+                self.loss_history[self.iteration] = float(loss_dict["loss"])
                 self.lr_history[self.iteration] = opt.current_lr
                 self.ss_prob_history[self.iteration] = opt.ss_prob
             if self.iteration % opt.save_checkpoint_every == 0 or \

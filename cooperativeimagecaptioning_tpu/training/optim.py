@@ -73,18 +73,30 @@ class OptimizerManager:
             st.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
     def _update_impl(self, params, grads, states, agents):
+        # device-side non-finite guard: a bad step leaves params AND optimizer
+        # state untouched (no host sync needed to decide)
+        ok = jnp.array(True)
+        for agent in agents:
+            for g in jax.tree.leaves(grads[agent]):
+                ok = ok & jnp.all(jnp.isfinite(g))
         new_params = dict(params)
         new_states = dict(states)
         for agent in agents:
-            updates, new_states[agent] = self.txs[agent].update(
+            updates, st = self.txs[agent].update(
                 grads[agent], states[agent], params[agent])
-            new_params[agent] = optax.apply_updates(params[agent], updates)
-        return new_params, new_states
+            upd = optax.apply_updates(params[agent], updates)
+            new_params[agent] = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), upd, params[agent])
+            new_states[agent] = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), st, states[agent])
+        return new_params, new_states, ok
 
     def step(self, params, grads, turn: str):
         agents = tuple(a for a in agents_to_update(self.opt, turn)
                        if a in params)
-        params, self.states = self._update(params, grads, self.states, agents)
+        params, self.states, ok = self._update(params, grads, self.states,
+                                               agents)
+        self.last_step_ok = ok  # device scalar; inspect lazily if desired
         return params
 
     def state_dict(self):
