@@ -305,9 +305,23 @@ def beam_search(module, params, ctx, seq_length, beam_size,
     for pe in module.prefix_embeddings(params, ectx):
         state, _ = module.step(params, ectx, state, pe)
 
+    # Constraint-free path uses the fused beam head: per-beam top-m + lse come
+    # out of the vocab projection directly (no [R, V] log-softmax, no sort).
+    use_fused = not decoding_constraint
+
+    def head(out):
+        if use_fused:
+            from cooperativeimagecaptioning_tpu.ops.pallas import beam_head
+            vals, idx, lse = beam_head.beam_head(
+                out, params["logit"]["w"], params["logit"]["b"], m)
+            lp_vals = (vals - lse[:, None]).reshape(B, m, m)
+            return (lp_vals, idx.reshape(B, m, m))
+        return jax.nn.log_softmax(
+            module.logits(params, out), axis=-1).reshape(B, m, nclass)
+
     xt = module.embed_token(params, jnp.full((B * m,), bos, jnp.int32))
     state, out = module.step(params, ectx, state, xt)
-    lp = jax.nn.log_softmax(module.logits(params, out), axis=-1).reshape(B, m, nclass)
+    lp = head(out)
 
     beam_seq = jnp.zeros((B, m, L), jnp.int32)
     beam_logps = jnp.zeros((B, m, L))
@@ -330,18 +344,28 @@ def beam_search(module, params, ctx, seq_length, beam_size,
                     beam_seq[:, :, t - 2]].set(NEG_INF)
                 return lpf + pen
             lpf = jax.lax.cond(t > 1, apply_pen, lambda x: x, lpf)
-        # Candidate expansion: global top-m over beam x vocab via TPU's
-        # PartialReduce (approx_max_k at recall 1.0 = exact; ~20% faster than
-        # top_k's sort here).  A two-stage per-beam-top-m-then-global variant
-        # — the reference's literal construction — measured 3-4x SLOWER on
-        # v5e, so the single global reduction stays.
-        cand = beam_sum[:, :, None] + lpf  # [B, m, C]
-        p, flat_idx = jax.lax.approx_max_k(
-            cand.reshape(B, m * nclass), m, recall_target=1.0)
-        q = flat_idx // nclass  # source beam  [B, m]
-        c = flat_idx % nclass   # word id      [B, m]
-        r = jnp.take_along_axis(
-            lpf.reshape(B, m * nclass), flat_idx, axis=1)  # raw step logprob
+        if use_fused:
+            # lpf = (per-beam top-m log-softmax values [B,m,m], ids [B,m,m]);
+            # the global reduction over the m*m survivors is exactly the
+            # reference's per-beam-cols-then-global construction
+            # (AttModel.py:209-227)
+            top_lp, top_i = lpf
+            cand = beam_sum[:, :, None] + top_lp        # [B, m, m]
+            p, flat_idx = jax.lax.top_k(cand.reshape(B, m * m), m)
+            q = flat_idx // m
+            c = jnp.take_along_axis(top_i.reshape(B, m * m), flat_idx, axis=1)
+            r = jnp.take_along_axis(top_lp.reshape(B, m * m), flat_idx, axis=1)
+        else:
+            # Candidate expansion: global top-m over beam x vocab via TPU's
+            # PartialReduce (approx_max_k at recall 1.0 = exact, faster than
+            # top_k's sort at this width).
+            cand = beam_sum[:, :, None] + lpf  # [B, m, C]
+            p, flat_idx = jax.lax.approx_max_k(
+                cand.reshape(B, m * nclass), m, recall_target=1.0)
+            q = flat_idx // nclass  # source beam  [B, m]
+            c = flat_idx % nclass   # word id      [B, m]
+            r = jnp.take_along_axis(
+                lpf.reshape(B, m * nclass), flat_idx, axis=1)  # step logprob
         new_seq = jnp.take_along_axis(beam_seq, q[:, :, None], axis=1)
         new_seq = new_seq.at[:, :, t - 1].set(c)
         new_logps = jnp.take_along_axis(beam_logps, q[:, :, None], axis=1)
@@ -378,8 +402,7 @@ def beam_search(module, params, ctx, seq_length, beam_size,
         state = jax.tree.map(gather_state, state)
         xt = module.embed_token(params, c.reshape(B * m))
         new_state, out = module.step(params, ectx, state, xt)
-        lp = jax.nn.log_softmax(
-            module.logits(params, out), axis=-1).reshape(B, m, nclass)
+        lp = head(out)
         return (new_state, lp, beam_seq, beam_logps, beam_sum,
                 best_p, best_seq, best_logps), None
 

@@ -58,3 +58,21 @@ def test_tie_break_first_max():
     b = jnp.asarray([1.0, 3.0, 3.0, 0.0, 3.0, 2.0])
     it, _ = logit_head.greedy_head_reference(h, w, b)
     assert np.all(np.asarray(it) == 1)  # first of the tied maxima
+
+
+def test_beam_head_reference_math():
+    from cooperativeimagecaptioning_tpu.ops.pallas import beam_head
+    rng = np.random.RandomState(9)
+    h = jnp.asarray(rng.randn(6, 16).astype(np.float32))
+    w = jnp.asarray((rng.randn(16, 40) * 0.2).astype(np.float32))
+    b = jnp.asarray((rng.randn(40) * 0.2).astype(np.float32))
+    vals, idx, lse = beam_head.beam_head_reference(h, w, b, 3)
+    full = np.asarray(h @ w + b)
+    want_v, want_i = jax.lax.top_k(jnp.asarray(full), 3)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(want_v), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i))
+    # log-softmax of the top word == vals - lse
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(full), axis=-1))
+    np.testing.assert_allclose(np.asarray(vals[:, 0] - lse),
+                               lp[np.arange(6), np.asarray(idx)[:, 0]],
+                               atol=1e-6)
