@@ -293,3 +293,21 @@ def test_teacher_forced_logprobs_parity():
     got = np.asarray(decoding.teacher_forced_logprobs(
         att_model, params, ctx, jnp.asarray(labels[:, :-1])))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_beam_decoding_constraint_no_repeats():
+    """decoding_constraint=1 (non-fused beam branch): no word repeats at
+    consecutive steps (ref AttModel.py:203-206)."""
+    opt = small_opt(caption_model="att2in2")
+    params = att_model.init_params(jax.random.PRNGKey(13), opt)
+    B, K = 4, 8
+    att = jnp.asarray(np.random.RandomState(14).randn(
+        B, K, opt.att_feat_size).astype(np.float32))
+    ctx = att_model.encode_features(params, None, att, None)
+    out = decoding.beam_search(att_model, params, ctx, opt.seq_length, 3,
+                               decoding_constraint=1)
+    seq = np.asarray(out.seq)
+    for row in seq:
+        words = [t for t in row if t > 0]
+        for a, b in zip(words, words[1:]):
+            assert a != b
