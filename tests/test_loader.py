@@ -58,3 +58,21 @@ def test_static_att_padding():
     data = ld.get_batch("train")
     assert data["att_feats"].shape[1] == 9
     assert data["att_masks"] is not None  # never collapses when static
+
+
+def test_flickr_image_key(tmp_path):
+    """flickr datasets key features by filename stem (ref dataloader.py:255-258)."""
+    import json
+    from cooperativeimagecaptioning_tpu.data.sources import FileDataset
+    from cooperativeimagecaptioning_tpu.config import Options
+    info = {"ix_to_word": {"1": "a"},
+            "images": [{"id": 5, "split": "train",
+                        "file_path": "flickr30k-images/12345.jpg"}]}
+    with open(tmp_path / "info.json", "w") as f:
+        json.dump(info, f)
+    opt = Options(input_json=str(tmp_path / "info.json"), input_label_h5="none",
+                  input_fc_dir=str(tmp_path), input_att_dir=str(tmp_path),
+                  dataset="flickr30k")
+    ds = FileDataset(opt)
+    assert ds.image_key(0) == "12345"
+    assert ds.gt_caps_per_image == 5

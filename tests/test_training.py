@@ -210,3 +210,15 @@ def test_phase1_checkpoint_operations(tmp_path, monkeypatch):
     assert "val" in val_loss and "test" in val_loss  # dual-split ranking
     assert "rsum" in val_loss["val"]
     assert tr.best_val_score_vse is not None
+
+
+def test_only_one_retrieval_variants():
+    """only_one_retrieval image/caption flows through the joint loss
+    (ref VSEFCModel.py:202-207)."""
+    for oor in ("image", "caption"):
+        opt = tiny_opt(retrieval_reward="gumbel", retrieval_reward_weight=0.5,
+                       caption_loss_weight=1, vse_loss_weight=0.1, phase=3,
+                       is_alternating=0, only_one_retrieval=oor)
+        tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+        ld, _, _ = tr.train_iteration()
+        assert np.isfinite(float(ld["loss"]))
