@@ -128,7 +128,10 @@ _FLAGS = [
                             "set >0 to avoid XLA recompiles on TPU)"),
     ("compute_dtype", str, "float32", "serving/decode dtype: float32 | "
                                       "bfloat16 (training stays f32)"),
-    ("mesh_data_axis", int, 0, "data-parallel mesh size (0 = all local devices)"),
+    ("mesh_data_axis", int, 0, "data-parallel mesh size: 0/1 = single-device, "
+                               ">1 = shard batches over a (data, model) mesh"),
+    ("mesh_model_axis", int, 1, "model (vocab) parallel mesh size; shards the "
+                                "logit head and embedding table"),
     ("on_device_cider", int, 0, "hashed n-gram CIDEr-D reward fully on device"),
     ("prefetch_batches", int, 2, "host-side prefetch depth"),
     ("seed", int, 123, "global PRNG seed"),

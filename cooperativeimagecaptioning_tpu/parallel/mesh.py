@@ -60,9 +60,20 @@ def _speaker_rules(path):
 
 
 def param_shardings(params, mesh: Mesh, vocab_sharded: bool = True):
-    """NamedShardings for the joint param tree (replicated except vocab dims)."""
+    """NamedShardings for the joint param tree (replicated except vocab dims).
+
+    A vocab dim that does not divide the 'model' axis falls back to replicated
+    for that leaf (V+1 and V+2 are consecutive, so with an even model axis at
+    most one of logit/embed can shard without padding)."""
+    n_model = mesh.shape["model"]
+
     def spec_for(path, leaf):
-        if not vocab_sharded or mesh.shape["model"] == 1:
+        if not vocab_sharded or n_model == 1:
             return NamedSharding(mesh, P())
-        return NamedSharding(mesh, _speaker_rules(path))
+        spec = _speaker_rules(path)
+        shape = getattr(leaf, "shape", ())
+        for dim, name in enumerate(spec):
+            if name == "model" and shape[dim] % n_model != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
     return jax.tree_util.tree_map_with_path(spec_for, params)

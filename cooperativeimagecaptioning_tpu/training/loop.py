@@ -60,6 +60,28 @@ class Trainer:
                     params = dict(params)
                     params["listener"] = jax.tree.map(
                         jnp.asarray, loaded["listener"])
+        # device mesh (TPU-native; the reference is single-GPU,
+        # ref train.py:181-185 — SURVEY §2.3). Params are committed to the
+        # mesh (replicated, vocab matrices optionally sharded on 'model');
+        # batches are sharded on 'data'; GSPMD then partitions the existing
+        # jitted step/sample/update programs and inserts the gradient
+        # all-reduce + contrastive all-gathers over ICI — no separate
+        # distributed code path.
+        self.mesh = None
+        n_data = int(getattr(opt, "mesh_data_axis", 0) or 0)
+        n_model = int(getattr(opt, "mesh_model_axis", 1) or 1)
+        if n_data > 1 or n_model > 1:
+            from cooperativeimagecaptioning_tpu import parallel
+            if n_data <= 1:
+                n_data = max(1, len(jax.devices()) // n_model)
+            eff_batch = opt.batch_size * opt.seq_per_img
+            assert eff_batch % n_data == 0, (
+                f"batch_size*seq_per_img ({eff_batch}) must divide the data "
+                f"axis ({n_data})")
+            self.mesh = parallel.make_mesh(n_data=n_data, n_model=n_model)
+            self._param_shardings = parallel.param_shardings(
+                params, self.mesh, vocab_sharded=n_model > 1)
+            params = jax.device_put(params, self._param_shardings)
         self.params = params
 
         self.optim = OptimizerManager(opt, params)
@@ -128,6 +150,16 @@ class Trainer:
             batch["att_masks"] = None
         return batch
 
+    def _shard_reward(self, reward):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(reward, NamedSharding(self.mesh, P("data")))
+
+    def _eval_params(self):
+        """Params for the (single-device) evaluator: gathered off the mesh."""
+        if self.mesh is None:
+            return self.params
+        return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), self.params)
+
     # -- one iteration ---------------------------------------------------------
     def train_iteration(self, data=None):
         opt = self.opt
@@ -150,12 +182,17 @@ class Trainer:
             from cooperativeimagecaptioning_tpu.rewards import ngram_device
             batch["refs"], batch["ref_mask"] = ngram_device.pad_gts(
                 data["gts"], seq_length=self.loader.seq_length)
+        if self.mesh is not None:
+            from cooperativeimagecaptioning_tpu import parallel
+            batch = parallel.shard_batch(batch, self.mesh)
         hp = self._hyper()
         self._rng, rng = jax.random.split(self._rng)
 
         sample_fn, grad_fn = self._fns(turn)
         B = data["labels"].shape[0]
         reward = jnp.zeros((B,), jnp.float32)
+        if self.mesh is not None:
+            reward = self._shard_reward(reward)
         aux_host = {}
         if joint.needs_reward(opt, turn):
             gen, greedy = sample_fn(self.params, batch, rng, hp)
@@ -170,6 +207,8 @@ class Trainer:
                     data["gts"], np.asarray(gen), np.asarray(greedy))
                 reward_np = scores
             reward = jnp.asarray(reward_np, jnp.float32)
+            if self.mesh is not None:
+                reward = self._shard_reward(reward)
             aux_host["avg_reward"] = float(np.mean(scores))
             aux_host["cider_greedy"] = float(cider_greedy)
 
@@ -204,7 +243,7 @@ class Trainer:
         eval_kwargs = {"split": "val", "dataset": opt.input_json}
         eval_kwargs.update(vars(opt))
         val_loss, predictions, lang_stats = ev.eval_split(
-            self.params, self.loader, eval_kwargs,
+            self._eval_params(), self.loader, eval_kwargs,
             use_gen_sent=opt.rank_on_gen_captions)
         self.val_result_history[self.iteration] = {
             "loss": val_loss, "lang_stats": lang_stats,

@@ -1,0 +1,132 @@
+"""Full-Trainer mesh wiring tests (VERDICT r1 item 2).
+
+The reference is single-GPU (ref: train.py:181-185); distributed training is a
+TPU-native addition: `--mesh_data_axis N` / `--mesh_model_axis M` commit the
+params to a (data, model) mesh and shard batches on 'data', and GSPMD
+partitions the existing jitted step programs. These tests run the *Trainer
+loop itself* (not just the step fn) on the 8-device virtual CPU mesh.
+"""
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+import jax
+
+from cooperativeimagecaptioning_tpu.config import Options, parse_opt
+from cooperativeimagecaptioning_tpu.data.sources import SyntheticDataset
+from cooperativeimagecaptioning_tpu.training.loop import Trainer, train
+
+
+def tiny_opt(**kw):
+    base = dict(
+        caption_model="att2in2", vse_model="fc", batch_size=8, seq_per_img=1,
+        rnn_size=16, input_encoding_size=12, att_hid_size=8, vse_embed_size=16,
+        fc_feat_size=20, att_feat_size=20, drop_prob_lm=0.1,
+        learning_rate=1e-3, grad_clip=0.1,
+        checkpoint_path="/tmp/cic_trainer_mesh_ckpt",
+        save_checkpoint_every=10_000, losses_log_every=5, language_eval=0,
+        rank_eval=0, max_epochs=-1, cached_tokens="corpus", max_att_len=6)
+    base.update(kw)
+    return Options(**base)
+
+
+def tiny_dataset(opt):
+    return SyntheticDataset(
+        num_images=16, vocab_size=25, seq_length=8,
+        fc_feat_size=opt.fc_feat_size, att_feat_size=opt.att_feat_size,
+        max_K=6)
+
+
+def run_losses(opt, n=4):
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    out = []
+    for _ in range(n):
+        loss_dict, _, _ = tr.train_iteration()
+        loss = float(loss_dict["loss"])
+        assert np.isfinite(loss)
+        out.append(loss)
+    return tr, out
+
+
+def test_trainer_dp8_matches_single_device():
+    """Same seed, same data: 8-way data-parallel Trainer reproduces the
+    single-device loss trajectory (the batch is sharded, grads all-reduced)."""
+    _, single = run_losses(tiny_opt(
+        phase=2, vse_loss_weight=0, caption_loss_weight=1))
+    _, dp8 = run_losses(tiny_opt(
+        phase=2, vse_loss_weight=0, caption_loss_weight=1, mesh_data_axis=8))
+    np.testing.assert_allclose(single, dp8, rtol=2e-4, atol=1e-5)
+
+
+def test_trainer_joint_4x2_mesh():
+    """Alternating gumbel + on-device CIDEr on a (4 data, 2 model) mesh:
+    vocab-sharded logit/embed (divisibility-aware), finite losses, both turns."""
+    opt = tiny_opt(is_alternating=1, alternating_turn=["speaker", "listener"],
+                   retrieval_reward="gumbel", retrieval_reward_weight=0.1,
+                   cider_optimization=0.9, caption_loss_weight=1,
+                   vse_loss_weight=0.1, phase=3, on_device_cider=1,
+                   mesh_data_axis=4, mesh_model_axis=2)
+    tr, losses = run_losses(opt, n=4)
+    assert tr.mesh is not None and dict(tr.mesh.shape) == {
+        "data": 4, "model": 2}
+
+
+def test_trainer_host_reward_on_mesh():
+    """Stage-A sampling + host CIDEr-D reward with sharded batches: the
+    two-stage protocol works unchanged when the batch lives on the mesh."""
+    opt = tiny_opt(is_alternating=1, alternating_turn=["speaker"],
+                   retrieval_reward="reinforce", retrieval_reward_weight=0.1,
+                   reinforce_baseline_type="greedy", cider_optimization=0.9,
+                   caption_loss_weight=1, vse_loss_weight=0.1, phase=3,
+                   mesh_data_axis=8)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    for _ in range(3):
+        loss_dict, _, _ = tr.train_iteration()
+        assert np.isfinite(float(loss_dict["loss"]))
+    assert "avg_reward" in loss_dict and "cider_greedy" in loss_dict
+
+
+def test_trainer_mesh_checkpoint_roundtrip(tmp_path):
+    """checkpoint_operations on the mesh (eval off gathered params, save), then
+    a fresh mesh Trainer resumes with identical params."""
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt, exist_ok=True)
+    opt = tiny_opt(phase=2, vse_loss_weight=0, caption_loss_weight=1,
+                   mesh_data_axis=8, checkpoint_path=ckpt,
+                   start_from=ckpt, load_best_score=0)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    for _ in range(2):
+        tr.train_iteration()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        tr.checkpoint_operations()
+    finally:
+        os.chdir(cwd)
+
+    tr2 = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    assert tr2.iteration == tr.iteration
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=0)
+
+
+def test_cli_mesh_flag_routes_to_trainer():
+    """`train.py --mesh_data_axis 8` surface: parse_opt consumes the flag and
+    train() runs distributed."""
+    opt = parse_opt(["--caption_model", "att2in2", "--vse_model", "fc",
+                     "--batch_size", "8", "--mesh_data_axis", "8",
+                     "--rnn_size", "16", "--input_encoding_size", "12",
+                     "--att_hid_size", "8", "--vse_embed_size", "16",
+                     "--fc_feat_size", "20", "--att_feat_size", "20",
+                     "--phase", "2", "--vse_loss_weight", "0",
+                     "--caption_loss_weight", "1", "--language_eval", "0",
+                     "--save_checkpoint_every", "10000",
+                     "--checkpoint_path", "/tmp/cic_cli_mesh_ckpt",
+                     "--max_att_len", "6"])
+    trainer = train(opt, dataset=tiny_dataset(opt), max_iterations=2)
+    assert trainer.mesh is not None
+    assert trainer.iteration == 2
