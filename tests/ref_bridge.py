@@ -55,6 +55,38 @@ def load_reference():
     return _loaded
 
 
+def load_reference_beam_att():
+    """Reference AttModel with its torch<=0.3 scalar idioms shimmed so
+    `sample_beam` (AttModel.py:150-289) runs on modern torch as the golden
+    beam oracle.  Two mechanical transforms, no logic change:
+      * `.data[0]` on 0-dim tensors -> `.item()` (0-dim indexing was removed);
+      * the done-beam record `'p': beam_logprobs_sum[vix]` -> `.item()`:
+        1-D integer indexing returned a float *copy* in torch 0.3, but an
+        aliasing 0-dim view today — without the copy, later in-place updates
+        of beam_logprobs_sum would silently rewrite recorded scores.
+    FCModel.sample_beam is NOT loadable even upstream: it references
+    undefined `fc_feats_d` / `self.new_img_embed` (FCModel.py:161-163), so
+    the reference could never beam-decode the FC speaker.
+    """
+    if "AttModelBeam" in _loaded:
+        return _loaded["AttModelBeam"]
+    load_reference()
+    path = REF + "/models/AttModel.py"
+    with open(path) as f:
+        src = f.read()
+    src = src.replace(".data[0]", ".item()")
+    src = src.replace("'p': beam_logprobs_sum[vix]}",
+                      "'p': beam_logprobs_sum[vix].item()}")
+    import importlib.util
+    spec = importlib.util.spec_from_loader("models._attmodel_beamshim",
+                                           loader=None)
+    mod = importlib.util.module_from_spec(spec)
+    mod.__file__ = path
+    exec(compile(src, path, "exec"), mod.__dict__)
+    _loaded["AttModelBeam"] = mod
+    return mod
+
+
 def torch_linear_to_jax(mod):
     """nn.Linear -> {'w': [in, out], 'b': [out]} numpy arrays."""
     import numpy as np
