@@ -1,21 +1,31 @@
 """METEOR scorer (replaces meteor-1.5.jar, ref:
 coco-caption/pycocoevalcap/meteor/meteor.py which drives the jar over a stdio
-protocol).
+protocol with `-l en -norm`, i.e. the English 'rank'-task tuning).
 
-Implements METEOR's scoring model with the classic English parameterization
-(Banerjee & Lavie 2005 / NLTK: alpha=0.9, penalty = 0.5*(chunks/matches)^3):
-  * stage-wise word alignment (exact match first, then Porter-stem match),
-    resolving ties toward fewer chunks like the reference beam aligner;
-  * weighted precision/recall harmonic mean + fragmentation penalty:
+Implements the METEOR 1.5 scoring model (Denkowski & Lavie 2014):
+  * stage-wise word alignment — exact match first, then Porter-stem match —
+    resolving ties toward fewer chunks like the jar's beam aligner;
+  * content/function word distinction: matched and total words are weighted
+    delta for content words and (1-delta) for function words;
+        P     = sum_i w_i*(d*m_i(h_c) + (1-d)*m_i(h_f)) / (d*|h_c|+(1-d)*|h_f|)
+        R     = likewise over the reference
         Fmean = P*R / (alpha*P + (1-alpha)*R)
-        Pen   = gamma * (chunks/matches)^beta
+        Pen   = gamma * (chunks/m)^beta
         score = (1 - Pen) * Fmean
-  * multi-reference: score against each reference, take the max.
+    with the 1.5 English parameters alpha=.85 beta=.2 gamma=.6 delta=.75 and
+    stage weights exact=1.0, stem=0.6;
+  * multi-reference: the best-scoring reference's statistics represent the
+    segment (jar semantics);
+  * the corpus score is the micro-average — the formula applied to SUMMED
+    segment statistics — exactly how the jar's final EVAL line aggregates,
+    not the mean of sentence scores.
 
-METEOR 1.5's synonym/paraphrase modules require WordNet / paraphrase-en.gz
-(missing large blobs in the reference checkout too, .MISSING_LARGE_BLOBS:3-4), so
-this is the exact+stem METEOR variant with the classic parameters — documented
-divergence from the jar.  A C++ implementation (native/) is used when built.
+Data-unavailable divergences (the blobs are absent upstream too,
+.MISSING_LARGE_BLOBS): the synonym stage (WordNet, weight 0.8) and paraphrase
+stage (paraphrase-en.gz, weight 0.6) cannot run, and the corpus-derived
+function.words list is approximated by a built-in English function-word set.
+A C++ implementation (native/cic_native.cpp) is used when built; both tiers
+agree bit-for-bit on the shared test corpus.
 """
 
 from __future__ import annotations
@@ -24,12 +34,32 @@ import numpy as np
 
 from cooperativeimagecaptioning_tpu.metrics.porter import stem
 
-ALPHA, BETA, GAMMA = 0.9, 3.0, 0.5
+ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
 W_EXACT, W_STEM = 1.0, 0.6
+
+# Approximation of METEOR's corpus-derived English function.words (words with
+# relative frequency > 1e-3): determiners, prepositions, conjunctions,
+# pronouns, auxiliaries, and high-frequency adverbs/particles.
+FUNCTION_WORDS = frozenset("""
+a an the this that these those some any each every no all both either neither
+i you he she it we they me him her us them my your his its our their mine
+yours hers ours theirs myself yourself himself herself itself ourselves
+themselves who whom whose which what
+is am are was were be been being do does did done doing have has had having
+will would shall should can could may might must ought need dare used
+and or but nor so yet for if then than as because while although though
+since unless until when where why how whether that
+of in on at by with from to into onto upon about above below under over
+between among through during before after against across behind beyond
+around near off out up down within without along toward towards
+not n't never also just only even still too very quite rather there here
+'s 'd 'll 'm 're 've
+. , ; : ! ? ' " ` `` '' -- ( ) [ ]
+""".split())
 
 
 def _align(hyp_words, ref_words):
-    """Greedy stage-wise alignment.  Returns (matches list of (hi, ri, weight))."""
+    """Greedy stage-wise alignment.  Returns matches [(hi, ri, weight)]."""
     hyp_taken = [False] * len(hyp_words)
     ref_taken = [False] * len(ref_words)
     matches = []
@@ -73,31 +103,55 @@ def _count_chunks(matches):
     return chunks
 
 
-def sentence_meteor(hyp: str, refs: list) -> float:
+def _score_from_stats(st):
+    """METEOR 1.5 formula over a stats vector
+    [wp_num, p_den, wr_num, r_den, chunks, matches]."""
+    wp_num, p_den, wr_num, r_den, chunks, m = st
+    if m <= 0 or p_den <= 0 or r_den <= 0:
+        return 0.0
+    p = wp_num / p_den
+    r = wr_num / r_den
+    if p == 0 or r == 0:
+        return 0.0
+    fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
+    pen = GAMMA * (chunks / m) ** BETA
+    return (1 - pen) * fmean
+
+
+def _pair_stats(hyp_words, ref_words):
+    matches = _align(hyp_words, ref_words)
+    m = len(matches)
+    cw = lambda w: DELTA if w not in FUNCTION_WORDS else (1 - DELTA)
+    p_den = sum(cw(w) for w in hyp_words)
+    r_den = sum(cw(w) for w in ref_words)
+    wp_num = sum(wt * cw(hyp_words[hi]) for hi, _, wt in matches)
+    wr_num = sum(wt * cw(ref_words[ri]) for _, ri, wt in matches)
+    return [wp_num, p_den, wr_num, r_den, float(_count_chunks(matches)),
+            float(m)]
+
+
+def sentence_stats(hyp: str, refs: list):
+    """(score, stats) for the best-scoring reference (jar segment semantics)."""
     hyp_words = hyp.split()
-    best = 0.0
+    best_score, best_stats = 0.0, [0.0] * 6
     for ref in refs:
         ref_words = ref.split()
         if not hyp_words or not ref_words:
             continue
-        matches = _align(hyp_words, ref_words)
-        m = len(matches)
-        if m == 0:
-            continue
-        wsum = sum(w for _, _, w in matches)
-        p = wsum / len(hyp_words)
-        r = wsum / len(ref_words)
-        if p == 0 or r == 0:
-            continue
-        fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
-        frag = _count_chunks(matches) / m
-        pen = GAMMA * frag ** BETA
-        score = (1 - pen) * fmean
-        best = max(best, score)
-    return best
+        st = _pair_stats(hyp_words, ref_words)
+        sc = _score_from_stats(st)
+        if sc >= best_score:
+            best_score, best_stats = sc, st
+    return best_score, best_stats
+
+
+def sentence_meteor(hyp: str, refs: list) -> float:
+    return sentence_stats(hyp, refs)[0]
 
 
 def compute_meteor(gts: dict, res: dict):
+    """Returns (corpus_score, per-segment scores).  The corpus score is the
+    micro-average over summed stats, matching the jar's final EVAL line."""
     try:
         from cooperativeimagecaptioning_tpu.native import bindings
         if bindings.available():
@@ -105,5 +159,9 @@ def compute_meteor(gts: dict, res: dict):
     except Exception:
         pass
     ids = sorted(gts.keys(), key=lambda x: str(x))
-    scores = np.array([sentence_meteor(res[i][0], gts[i]) for i in ids])
-    return float(scores.mean()), scores
+    scores, total = [], np.zeros(6)
+    for i in ids:
+        sc, st = sentence_stats(res[i][0], gts[i])
+        scores.append(sc)
+        total += np.asarray(st)
+    return float(_score_from_stats(total)), np.array(scores)

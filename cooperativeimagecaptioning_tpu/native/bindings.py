@@ -51,6 +51,11 @@ def _load():
         lib.cic_tokenize.restype = ctypes.c_char_p
         lib.cic_meteor.argtypes = [ctypes.c_char_p]
         lib.cic_meteor.restype = ctypes.c_double
+        lib.cic_meteor_stats.argtypes = [ctypes.c_char_p,
+                                         ctypes.POINTER(ctypes.c_double)]
+        lib.cic_meteor_stats.restype = ctypes.c_double
+        lib.cic_meteor_corpus.argtypes = [ctypes.POINTER(ctypes.c_double)]
+        lib.cic_meteor_corpus.restype = ctypes.c_double
         lib.cic_porter_stem.argtypes = [ctypes.c_char_p]
         lib.cic_porter_stem.restype = ctypes.c_char_p
         lib.cic_version.restype = ctypes.c_int
@@ -92,17 +97,21 @@ def ptb_tokenize(captions_for_image: dict) -> dict:
 
 
 def meteor(gts: dict, res: dict):
-    """Same contract as metrics.meteor.compute_meteor."""
+    """Same contract as metrics.meteor.compute_meteor: per-segment scores +
+    the jar's micro-averaged corpus score over summed stats."""
     import numpy as np
     lib = _load()
     ids = sorted(gts.keys(), key=lambda x: str(x))
     scores = []
+    total = np.zeros(6)
+    out7 = (ctypes.c_double * 7)()
     for i in ids:
         payload = (res[i][0] + "\x02" + "\x01".join(gts[i])).encode(
             "utf-8", "replace")
-        scores.append(lib.cic_meteor(payload))
-    scores = np.array(scores)
-    return float(scores.mean()), scores
+        scores.append(lib.cic_meteor_stats(payload, out7))
+        total += np.asarray(out7[1:7])
+    summed = (ctypes.c_double * 6)(*total)
+    return float(lib.cic_meteor_corpus(summed)), np.array(scores)
 
 
 def porter_stem(word: str) -> str:

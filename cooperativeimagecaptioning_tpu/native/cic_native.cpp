@@ -11,10 +11,13 @@
 //   meteor:    hypothesis '\x02' ref1 '\x01' ref2 ... in, double out
 
 #include <algorithm>
+#include <cmath>
 #include <cstring>
 #include <regex>
+#include <sstream>
 #include <string>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -227,11 +230,44 @@ std::string tokenize_line(const std::string& line) {
 }
 
 // ---------------------------------------------------------------------------
-// METEOR (mirrors metrics/meteor.py: exact+stem stages, classic parameters)
+// METEOR (mirrors metrics/meteor.py: METEOR 1.5 scoring model — exact+stem
+// stages, English 'rank' parameters, content/function word weighting, and
+// stats output for the jar's micro-averaged corpus score)
 // ---------------------------------------------------------------------------
 
-constexpr double ALPHA = 0.9, BETA = 3.0, GAMMA = 0.5;
+constexpr double ALPHA = 0.85, BETA = 0.2, GAMMA = 0.6, DELTA = 0.75;
 constexpr double W_EXACT = 1.0, W_STEM = 0.6;
+
+const std::unordered_set<std::string>& function_words() {
+  // keep in sync with metrics/meteor.py FUNCTION_WORDS
+  static const std::unordered_set<std::string> fw = [] {
+    const char* words =
+        "a an the this that these those some any each every no all both "
+        "either neither i you he she it we they me him her us them my your "
+        "his its our their mine yours hers ours theirs myself yourself "
+        "himself herself itself ourselves themselves who whom whose which "
+        "what is am are was were be been being do does did done doing have "
+        "has had having will would shall should can could may might must "
+        "ought need dare used and or but nor so yet for if then than as "
+        "because while although though since unless until when where why "
+        "how whether that of in on at by with from to into onto upon about "
+        "above below under over between among through during before after "
+        "against across behind beyond around near off out up down within "
+        "without along toward towards not n't never also just only even "
+        "still too very quite rather there here 's 'd 'll 'm 're 've "
+        ". , ; : ! ? ' \" ` `` '' -- ( ) [ ]";
+    std::unordered_set<std::string> s;
+    std::istringstream iss(words);
+    std::string w;
+    while (iss >> w) s.insert(w);
+    return s;
+  }();
+  return fw;
+}
+
+inline double content_weight(const std::string& w) {
+  return function_words().count(w) ? 1.0 - DELTA : DELTA;
+}
 
 struct Match { int hi, ri; double w; };
 
@@ -264,36 +300,61 @@ void run_stage(const std::vector<std::string>& hyp,
   }
 }
 
-double sentence_meteor(const std::vector<std::string>& hyp,
-                       const std::vector<std::vector<std::string>>& refs) {
+// stats: [wp_num, p_den, wr_num, r_den, chunks, matches]
+double score_from_stats(const double st[6]) {
+  double wp = st[0], pd = st[1], wr = st[2], rd = st[3];
+  double chunks = st[4], m = st[5];
+  if (m <= 0 || pd <= 0 || rd <= 0) return 0.0;
+  double p = wp / pd, r = wr / rd;
+  if (p == 0 || r == 0) return 0.0;
+  double fmean = p * r / (ALPHA * p + (1 - ALPHA) * r);
+  double pen = GAMMA * std::pow(chunks / m, BETA);
+  return (1 - pen) * fmean;
+}
+
+void pair_stats(const std::vector<std::string>& hyp,
+                const std::vector<std::string>& ref, double st[6]) {
+  std::vector<bool> ht(hyp.size(), false), rt(ref.size(), false);
+  std::vector<Match> matches;
+  run_stage(hyp, ref, ht, rt, matches, false, W_EXACT);
+  run_stage(hyp, ref, ht, rt, matches, true, W_STEM);
+  double wp = 0, wr = 0, pd = 0, rd = 0;
+  for (auto& w : hyp) pd += content_weight(w);
+  for (auto& w : ref) rd += content_weight(w);
+  for (auto& mt : matches) {
+    wp += mt.w * content_weight(hyp[mt.hi]);
+    wr += mt.w * content_weight(ref[mt.ri]);
+  }
+  std::sort(matches.begin(), matches.end(),
+            [](const Match& a, const Match& b) {
+              return a.hi < b.hi || (a.hi == b.hi && a.ri < b.ri);
+            });
+  int chunks = matches.empty() ? 0 : 1;
+  for (size_t i = 1; i < matches.size(); i++) {
+    if (!(matches[i].hi == matches[i - 1].hi + 1 &&
+          matches[i].ri == matches[i - 1].ri + 1))
+      chunks++;
+  }
+  st[0] = wp; st[1] = pd; st[2] = wr; st[3] = rd;
+  st[4] = (double)chunks; st[5] = (double)matches.size();
+}
+
+// Segment score + best-reference stats (jar semantics: the best-scoring
+// reference's statistics represent the segment in the corpus aggregate).
+double sentence_meteor_stats(const std::vector<std::string>& hyp,
+                             const std::vector<std::vector<std::string>>& refs,
+                             double out_stats[6]) {
   double best = 0.0;
+  for (int i = 0; i < 6; i++) out_stats[i] = 0.0;
   for (const auto& ref : refs) {
     if (hyp.empty() || ref.empty()) continue;
-    std::vector<bool> ht(hyp.size(), false), rt(ref.size(), false);
-    std::vector<Match> matches;
-    run_stage(hyp, ref, ht, rt, matches, false, W_EXACT);
-    run_stage(hyp, ref, ht, rt, matches, true, W_STEM);
-    int m = (int)matches.size();
-    if (m == 0) continue;
-    double wsum = 0;
-    for (auto& mt : matches) wsum += mt.w;
-    double p = wsum / hyp.size(), r = wsum / ref.size();
-    if (p == 0 || r == 0) continue;
-    double fmean = p * r / (ALPHA * p + (1 - ALPHA) * r);
-    std::sort(matches.begin(), matches.end(),
-              [](const Match& a, const Match& b) {
-                return a.hi < b.hi || (a.hi == b.hi && a.ri < b.ri);
-              });
-    int chunks = 1;
-    for (size_t i = 1; i < matches.size(); i++) {
-      if (!(matches[i].hi == matches[i - 1].hi + 1 &&
-            matches[i].ri == matches[i - 1].ri + 1))
-        chunks++;
+    double st[6];
+    pair_stats(hyp, ref, st);
+    double score = score_from_stats(st);
+    if (score >= best) {
+      best = score;
+      for (int i = 0; i < 6; i++) out_stats[i] = st[i];
     }
-    double frag = (double)chunks / m;
-    double pen = GAMMA * frag * frag * frag;  // frag^BETA, BETA = 3
-    double score = (1 - pen) * fmean;
-    best = std::max(best, score);
   }
   return best;
 }
@@ -322,7 +383,8 @@ const char* cic_tokenize(const char* input) {
 }
 
 // METEOR for one segment: hyp '\x02' ref1 '\x01' ref2 ...
-double cic_meteor(const char* payload) {
+// out7 (if non-null): [score, wp_num, p_den, wr_num, r_den, chunks, matches]
+double cic_meteor_stats(const char* payload, double* out7) {
   const char* sep = strchr(payload, '\x02');
   if (!sep) return 0.0;
   std::string hyp(payload, sep - payload);
@@ -335,7 +397,24 @@ double cic_meteor(const char* payload) {
     if (!e) break;
     p = e + 1;
   }
-  return sentence_meteor(split_ws(hyp), refs);
+  double st[6];
+  double score = sentence_meteor_stats(split_ws(hyp), refs, st);
+  if (out7) {
+    out7[0] = score;
+    for (int i = 0; i < 6; i++) out7[i + 1] = st[i];
+  }
+  return score;
+}
+
+double cic_meteor(const char* payload) {
+  return cic_meteor_stats(payload, nullptr);
+}
+
+// corpus micro-average: score over summed per-segment stats [6]
+double cic_meteor_corpus(const double* summed_stats) {
+  double st[6];
+  for (int i = 0; i < 6; i++) st[i] = summed_stats[i];
+  return score_from_stats(st);
 }
 
 const char* cic_porter_stem(const char* word) {

@@ -65,8 +65,37 @@ def test_meteor_exact_match_scores_high():
     gts = {0: ["a man rides a red bike"], 1: ["a dog in the park"]}
     res = {0: ["a man rides a red bike"], 1: ["the cat on a mat"]}
     mean, per = meteor.compute_meteor(gts, res)
-    assert per[0] > 0.9
+    # METEOR 1.5 parameterization: even a verbatim match keeps the residual
+    # fragmentation penalty gamma*(1/m)^beta (= .6*(1/6)^.2 here), so the
+    # ceiling is ~0.58, not ~1.0 as under the 2005 constants
+    assert per[0] > 0.5
     assert per[0] > per[1]
+
+
+def test_meteor_15_formula_verbatim_match():
+    """Hand-computed METEOR 1.5 score for a verbatim 2-content-word match:
+    P=R=Fmean=1, pen = .6*(chunks/m)^.2 with chunks=1, m=3."""
+    score = meteor.sentence_meteor("red bike go", ["red bike go"])
+    want = 1.0 - 0.6 * (1.0 / 3.0) ** 0.2
+    assert abs(score - want) < 1e-12
+
+
+def test_meteor_function_word_weighting():
+    """delta=.75: matching only function words is worth far less than
+    matching only content words (same counts)."""
+    s_content = meteor.sentence_meteor("red bike", ["red bike parked here"])
+    s_function = meteor.sentence_meteor("of the", ["of the red bike"])
+    assert s_content > s_function
+
+
+def test_meteor_corpus_micro_average():
+    """The corpus score aggregates summed stats (jar EVAL semantics), which
+    differs from the mean of per-segment scores."""
+    gts = {0: ["a man rides a red bike"], 1: ["a dog in the park"]}
+    res = {0: ["a man rides a red bike"], 1: ["a dog sits in a park"]}
+    mean, per = meteor.compute_meteor(gts, res)
+    assert np.isfinite(mean) and mean > 0
+    assert abs(mean - per.mean()) > 1e-6  # micro != macro here
 
 
 def test_meteor_stem_matching():
