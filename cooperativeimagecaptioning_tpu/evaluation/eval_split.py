@@ -143,9 +143,13 @@ class Evaluator:
                 if joint.needs_reward(opt, "optimizer"):
                     reward = self._reward_for(params, batch, data)
                 loss, aux = self.loss_fn(params, batch, reward)
+                # accumulate DEVICE scalars — converting per batch would force
+                # a device->host sync every eval batch (the pattern the trainer
+                # eliminated for a 14x win); one transfer per key at the end
                 for k, v in aux.items():
-                    losses_acc[k] = losses_acc.get(k, 0.0) + float(v)
-                losses_acc["loss"] = losses_acc.get("loss", 0.0) + float(loss)
+                    losses_acc[k] = losses_acc.get(k, jnp.float32(0.0)) + v
+                losses_acc["loss"] = losses_acc.get(
+                    "loss", jnp.float32(0.0)) + loss
                 loss_evals += 1
 
             fc, att, am = self._dedup(data, loader)
@@ -186,7 +190,7 @@ class Evaluator:
                     getattr(opt, "checkpoint_path", None), ann_file=ann_file,
                     loader=loader)
 
-        out_losses = {k: v / loss_evals for k, v in losses_acc.items()}
+        out_losses = {k: float(v) / loss_evals for k, v in losses_acc.items()}
         if rank_eval:
             if not use_gen_sent and phase == 1:
                 # rank both splits each checkpoint (ref: eval_utils.py:259-267)
@@ -246,16 +250,14 @@ class Evaluator:
             else:
                 fc, att, am = self._dedup(data, loader)
                 seq, _ = decode(params, fc, att, am)
-                seq_np = np.asarray(seq)
-                seq_masks = losses.masks_from_seq(jnp.asarray(seq_np))
-                bos = np.full((seq_np.shape[0], 1), V + 1, seq_np.dtype)
-                seqs = jnp.asarray(np.hstack([bos, seq_np]))
-                img_emb, cap_emb = self.encode_fn(params, fc, seqs,
-                                                  jnp.asarray(seq_masks))
+                # BOS-prepend + mask built on device (no host round-trip)
+                seq_masks = losses.masks_from_seq(seq)
+                bos = jnp.full((seq.shape[0], 1), V + 1, seq.dtype)
+                seqs = jnp.concatenate([bos, seq], axis=1)
+                img_emb, cap_emb = self.encode_fn(params, fc, seqs, seq_masks)
             ix1 = data["bounds"]["it_max"]
             if num_images != -1:
                 ix1 = min(ix1, num_images)
-            img_emb, cap_emb = np.asarray(img_emb), np.asarray(cap_emb)
             if n > ix1:
                 keep = (ix1 - n) * loader.seq_per_img
                 img_emb, cap_emb = img_emb[:keep], cap_emb[:keep]
@@ -269,7 +271,10 @@ class Evaluator:
             if 0 <= num_images <= n:
                 break
         loader.seq_per_img = saved_spi
-        return np.vstack(img_embs), np.vstack(cap_embs), images_data
+        # single host transfer per array at the end (device arrays were
+        # appended un-synced; slicing above stayed on device)
+        return (np.vstack([np.asarray(x) for x in img_embs]),
+                np.vstack([np.asarray(x) for x in cap_embs]), images_data)
 
     def evalrank(self, params, loader, eval_kwargs=None, use_gen_sent=False):
         if "listener" not in params:
