@@ -5,13 +5,24 @@ Scans a run directory's histories for the best checkpoint per selection criterio
 model files (ref remove_unnecessary_models :18-41), re-evaluates the selected
 checkpoints on the test split (ref eval_test :387-456), and writes:
   <run>/val_dict.pkl, <run>/test_dict.pkl, <json_dir>/<run>.json
+
+Also a standalone multi-run CLI (the reference file doubles as one:
+read_models_to_plot :61-83, model_doesnt_need_update caching :85-94,
+main :493-535):
+
+  python -m cooperativeimagecaptioning_tpu.evaluation.harvest --dir runs/gumbel
+
+harvests every run directory under --dir (or a single run dir), with
+val_dict.pkl caching unless --force_new_dict 1.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import pickle
+import traceback
 
 import numpy as np
 
@@ -130,7 +141,7 @@ def create_json(run_dir, run_id, val_metrics, test_dict, opt=None,
 
 
 def create_dicts_and_json_after_training(opt, dataset=None, ann_file=None,
-                                         run_test_eval=True):
+                                         run_test_eval=True, json_dir=None):
     """ref :459-475 — val/test dict pkls + json report after a joint run."""
     run_dir = opt.checkpoint_path if not isinstance(opt, str) else opt
     run_id = getattr(opt, "id", "") if not isinstance(opt, str) else ""
@@ -147,9 +158,136 @@ def create_dicts_and_json_after_training(opt, dataset=None, ann_file=None,
         try:
             test_dict = eval_test(opt, metrics, run_dir, run_id,
                                   ann_file=ann_file, dataset=dataset)
-        except Exception as e:  # harvesting must not kill a finished run
+        except (FileNotFoundError, OSError) as e:
+            # missing checkpoints/data: harvesting must not kill a finished
+            # run, but anything else is a real eval bug — re-raise it
             print(f"test re-evaluation skipped: {e}")
+            traceback.print_exc()
     with open(os.path.join(run_dir, "test_dict.pkl"), "wb") as f:
         pickle.dump(test_dict, f)
     return create_json(run_dir, run_id, metrics, test_dict,
-                       opt if not isinstance(opt, str) else None)
+                       opt if not isinstance(opt, str) else None,
+                       json_dir=json_dir)
+
+
+# ---------------------------------------------------------------------------
+# Standalone multi-run CLI (ref: plots_general_curve.py as a tool)
+# ---------------------------------------------------------------------------
+
+def _is_run_dir(path):
+    try:
+        return any(f.startswith("histories_") and f.endswith(".pkl")
+                   for f in os.listdir(path))
+    except NotADirectoryError:
+        return False
+
+
+def _count_iter_models(run_dir):
+    n = 0
+    for f in os.listdir(run_dir):
+        if (f.startswith("alternatingModel-") or
+                (f.startswith("model-") and len(f) > 6 and f[6].isdigit())) \
+                and f.endswith(".pth"):
+            n += 1
+    return n
+
+
+def run_needs_update(run_dir, force_new_dict=False, min_models_in_dir=1):
+    """val_dict.pkl caching (ref model_doesnt_need_update :85-94): a run whose
+    dict exists and whose per-iteration checkpoint count hasn't grown past
+    min_models_in_dir is up to date."""
+    if force_new_dict:
+        return True
+    if "val_dict.pkl" not in os.listdir(run_dir):
+        return True
+    return _count_iter_models(run_dir) > min_models_in_dir
+
+
+def discover_runs(parent, blacklist=(), skip_substrings=()):
+    """Run directories under `parent` (ref read_models_to_plot :61-83; the
+    reference's hard-coded 'BS50'/'E50' skips become --skip substrings)."""
+    if _is_run_dir(parent):
+        return [parent]
+    runs = []
+    for d in sorted(os.listdir(parent)):
+        p = os.path.join(parent, d)
+        if not os.path.isdir(p) or d in blacklist:
+            continue
+        if any(s in d for s in skip_substrings):
+            continue
+        if _is_run_dir(p):
+            runs.append(p)
+    return runs
+
+
+def _opt_from_infos(run_dir):
+    """Recover the run's Options from its infos pickle so standalone test
+    re-eval can run (the reference reads opt back the same way)."""
+    cands = [f for f in os.listdir(run_dir)
+             if f.startswith("infos_") and f.endswith(".pkl")
+             and "best" not in f and not f.startswith("infos_vse")]
+    if not cands:
+        return None
+    # the plain infos_<id>.pkl is the shortest (per-iter files add "-<iter>")
+    f = min(cands, key=len)
+    with open(os.path.join(run_dir, f), "rb") as fh:
+        infos = pickle.load(fh)
+    return infos.get("opt")
+
+
+def harvest_runs(parent, force_new_dict=False, min_models_in_dir=1,
+                 blacklist=(), skip_substrings=(), test_eval=False,
+                 json_dir=None, dataset=None):
+    """Harvest every run under `parent` (ref main :493-535).  Returns
+    {run_dir: json_path_or_None (skipped/cached)}."""
+    results = {}
+    for run_dir in discover_runs(parent, blacklist, skip_substrings):
+        name = os.path.basename(os.path.normpath(run_dir))
+        if not run_needs_update(run_dir, force_new_dict, min_models_in_dir):
+            print(f"[{name}] up to date (val_dict.pkl cached)")
+            results[run_dir] = None
+            continue
+        print(f"Start working on [{name}]")
+        target = run_dir
+        if test_eval:
+            opt = _opt_from_infos(run_dir)
+            if opt is not None:
+                opt.checkpoint_path = run_dir
+                target = opt
+        results[run_dir] = create_dicts_and_json_after_training(
+            target, dataset=dataset, run_test_eval=test_eval,
+            json_dir=json_dir)
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="Standalone results harvesting over one or many run dirs "
+                    "(ref: plots_general_curve.py main)")
+    ap.add_argument("--dir", required=True,
+                    help="a run dir, or a parent dir of run dirs")
+    ap.add_argument("--force_new_dict", type=int, default=0,
+                    help="rebuild val_dict.pkl even if cached")
+    ap.add_argument("--min_models_in_dir", type=int, default=1,
+                    help="cache threshold: more per-iter checkpoints than "
+                         "this forces a refresh")
+    ap.add_argument("--test_eval", type=int, default=0,
+                    help="re-evaluate selected checkpoints on the test split "
+                         "(needs the run's dataset on disk)")
+    ap.add_argument("--json_dir", type=str, default=None)
+    ap.add_argument("--blacklist", nargs="*", default=[])
+    ap.add_argument("--skip", nargs="*", default=[],
+                    help="skip run dirs containing any of these substrings")
+    args = ap.parse_args(argv)
+    results = harvest_runs(
+        args.dir, force_new_dict=bool(args.force_new_dict),
+        min_models_in_dir=args.min_models_in_dir,
+        blacklist=tuple(args.blacklist), skip_substrings=tuple(args.skip),
+        test_eval=bool(args.test_eval), json_dir=args.json_dir)
+    done = sum(1 for v in results.values() if v)
+    print(f"harvested {done}/{len(results)} runs")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -62,3 +62,46 @@ def test_json_report(tmp_path):
         report = json.load(f)
     assert report["best_iteration_by"]["cider"] == 10
     assert report["val"]["cider"]["cider"] == 0.9
+
+
+def test_standalone_multi_run_cli(tmp_path):
+    """`python -m ...harvest --dir <parent>` harvests every run dir under the
+    parent (ref plots_general_curve.py main :493-535) with dict caching."""
+    parent = tmp_path / "runs"
+    for name in ("gumbel_t1", "gumbel_t2", "skipme_BS50"):
+        d = parent / name
+        d.mkdir(parents=True)
+        fake_run_dir(d, run_id=name)
+    (parent / "not_a_run").mkdir()  # no histories -> ignored
+
+    jd = str(tmp_path / "json_dir")
+    results = harvest.main(["--dir", str(parent), "--skip", "BS50",
+                            "--json_dir", jd])
+    assert len(results) == 2
+    for run_dir, path in results.items():
+        assert path is not None and os.path.isfile(path)
+        assert os.path.isfile(os.path.join(run_dir, "val_dict.pkl"))
+    assert sorted(os.listdir(jd)) == ["gumbel_t1.json", "gumbel_t2.json"]
+
+    # second invocation: both runs cached (val_dict.pkl present, model count
+    # pruned to the 3 selected == not above threshold)
+    results2 = harvest.harvest_runs(str(parent), skip_substrings=("BS50",),
+                                    min_models_in_dir=3, json_dir=jd)
+    assert all(v is None for v in results2.values())
+
+    # force_new_dict busts the cache
+    results3 = harvest.harvest_runs(str(parent), skip_substrings=("BS50",),
+                                    force_new_dict=True, json_dir=jd)
+    assert all(v is not None for v in results3.values())
+
+
+def test_single_run_dir_cli(tmp_path):
+    fake_run_dir(tmp_path, run_id="solo")
+    jd = str(tmp_path / "jd")
+    results = harvest.main(["--dir", str(tmp_path), "--json_dir", jd])
+    assert len(results) == 1
+    (path,) = results.values()
+    with open(path) as f:
+        rep = json.load(f)
+    assert rep["best_iteration_by"] == {"cider": 10, "bleu4": 15,
+                                        "t2i_r10": 5}
