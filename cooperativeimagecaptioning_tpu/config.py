@@ -133,6 +133,9 @@ _FLAGS = [
     ("mesh_model_axis", int, 1, "model (vocab) parallel mesh size; shards the "
                                 "logit head and embedding table"),
     ("on_device_cider", int, 0, "hashed n-gram CIDEr-D reward fully on device"),
+    ("audit_grad_isolation", int, 0, "debug: verify per-agent update "
+                                     "isolation after every optimizer step "
+                                     "(ref UpdateError machinery)"),
     ("prefetch_batches", int, 2, "host-side prefetch depth"),
     ("seed", int, 123, "global PRNG seed"),
     ("profile_dir", str, "", "jax profiler trace dir (empty = off)"),

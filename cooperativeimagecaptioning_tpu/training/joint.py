@@ -318,7 +318,8 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
                     jax.lax.stop_gradient(gen_seq),
                     jax.lax.stop_gradient(greedy),
                     batch["refs"], batch["ref_mask"],
-                    seq_per_img=opt.seq_per_img)
+                    seq_per_img=opt.seq_per_img,
+                    df_table=batch.get("df_table"))
             reward = cider_gen if opt.use_gen_cider_scores else scores
             aux["avg_reward"] = jnp.mean(scores)
             aux["cider_greedy"] = cider_greedy

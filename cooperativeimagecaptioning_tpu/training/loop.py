@@ -108,6 +108,14 @@ class Trainer:
         self._step_fns = {}
         self._rng = jax.random.PRNGKey(seed + 1)
         self._evaluator = None
+        # cached-df tier for the on-device reward: linear-in-B df lookups
+        # (ref non-corpus mode, ciderD_scorer.py:62-75) instead of the
+        # O(B^2) corpus-mode containment
+        self._df_table = None
+        if joint.needs_device_refs(opt) and opt.cached_tokens != "corpus":
+            from cooperativeimagecaptioning_tpu.rewards import ngram_device
+            self._df_table = ngram_device.load_df_table(
+                f"data/{opt.cached_tokens}.p")
         if opt.cider_optimization > 0:
             self_critical.init_scorer(opt.cached_tokens)
         self._update_schedules()
@@ -185,6 +193,11 @@ class Trainer:
         if self.mesh is not None:
             from cooperativeimagecaptioning_tpu import parallel
             batch = parallel.shard_batch(batch, self.mesh)
+        if self._df_table is not None and "refs" in batch:
+            # replicated (not data-sharded) device constant
+            batch["df_table"] = self._df_table if self.mesh is None else \
+                jax.device_put(self._df_table, jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()))
         hp = self._hyper()
         self._rng, rng = jax.random.split(self._rng)
 
@@ -216,7 +229,16 @@ class Trainer:
         # non-finite guard runs on DEVICE inside the optimizer update (a bad
         # step leaves params + Adam state untouched); nothing here forces a
         # host sync, so iterations pipeline on the device
+        prev_params = self.params  # free snapshot (functional update)
         self.params = self.optim.step(self.params, grads, turn)
+        if getattr(opt, "audit_grad_isolation", 0):
+            from cooperativeimagecaptioning_tpu.training import audit
+            from cooperativeimagecaptioning_tpu.training.optim import \
+                agents_to_update
+            audit.audit_update(
+                prev_params, self.params,
+                tuple(a for a in agents_to_update(opt, turn)
+                      if a in self.params))
 
         loss_dict = dict(aux)  # device scalars; converted lazily by loggers
         loss_dict.update(aux_host)
