@@ -222,3 +222,29 @@ def test_only_one_retrieval_variants():
         tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
         ld, _, _ = tr.train_iteration()
         assert np.isfinite(float(ld["loss"]))
+
+
+def test_runtime_grad_isolation_audit():
+    """--audit_grad_isolation 1: a reinforce alternating run passes the
+    per-turn isolation audit (ref UpdateError, AlternatingJointModel:571-686),
+    and a tampered frozen agent raises."""
+    import pytest
+    from cooperativeimagecaptioning_tpu.training import audit
+
+    opt = tiny_opt(is_alternating=1, alternating_turn=["speaker", "listener"],
+                   retrieval_reward="reinforce", retrieval_reward_weight=0.1,
+                   reinforce_baseline_type="greedy", cider_optimization=0,
+                   caption_loss_weight=1, vse_loss_weight=0.1, phase=3,
+                   audit_grad_isolation=1)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    for _ in range(4):  # both turns, audited every step
+        loss_dict, turn, _ = tr.train_iteration()
+        assert np.isfinite(loss_dict["loss"])
+
+    # negative case: fake a listener update during a speaker-only turn
+    prev = tr.params
+    tampered = {a: dict(t) for a, t in tr.params.items()}
+    tampered["listener"] = jax.tree.map(lambda x: x + 1.0,
+                                        tampered["listener"])
+    with pytest.raises(audit.UpdateError):
+        audit.audit_update(prev, tampered, ("speaker",))
