@@ -2,8 +2,8 @@
 
 n-gram (1..4) tf-idf cosine similarity with term clipping and a Gaussian length
 penalty (sigma = 6).  This is the *training reward* scorer for self-critical
-REINFORCE (ref: misc/rewards.py:17) and must reproduce the reference math exactly —
-including its quirks:
+REINFORCE (ref: misc/rewards.py:17) and must reproduce the reference math
+exactly — including its quirks:
 
   * "length" is the count of *bigrams* (ciderD_scorer.py:143-145: `if n == 1`),
     i.e. word-length minus one;
@@ -13,31 +13,101 @@ including its quirks:
     ref_len = log(#images); anything else loads a cached table with its own
     ref_len (ciderD_scorer.py:62-75).
 
-Implementation is vectorized over hashed n-gram ids per call (dict-of-tuples in
-the reference), preserving exact float64 accumulation order within each n."""
+Unlike the reference's dict-of-tuples accumulation, this implementation is
+id-based and vectorized: tokens are interned to integer ids, n-gram ids are
+built hierarchically ((n-1)-gram id, token id) -> compact id via np.unique
+(which also bounds the pairing products, so no hashing and no collisions),
+term frequencies and document frequencies are bincounts over id arrays, and
+the clipped cosine is an intersect1d over each (hyp, ref) pair's sorted gram
+ids.  float64 throughout — parity with the reference scorer holds to ~1e-12.
+"""
 
 from __future__ import annotations
 
-import math
 import pickle
-from collections import defaultdict
 
 import numpy as np
+
+SIGMA = 6.0
 
 
 def precook(s: str, n: int = 4):
     """Count n-grams 1..n of a whitespace-tokenized sentence
-    (ref: ciderD_scorer.py:13-30)."""
+    (ref: ciderD_scorer.py:13-30).  Kept for API compatibility."""
     words = s.split()
-    counts = defaultdict(int)
+    counts = {}
     for k in range(1, n + 1):
         for i in range(len(words) - k + 1):
-            counts[tuple(words[i:i + k])] += 1
+            g = tuple(words[i:i + k])
+            counts[g] = counts.get(g, 0) + 1
     return counts
 
 
+class _GramIndex:
+    """Interned n-gram ids for a batch of sentences.
+
+    For each level n in 1..n_max, every sentence gets an array of compact
+    gram ids (one per starting position); `rep[n]` maps a compact id back to
+    a representative (sentence, position) so cached-df dict lookups can
+    reconstruct the token tuple.
+    """
+
+    def __init__(self, sentences, n_max):
+        self.sentences = sentences
+        self.n_max = n_max
+        vocab = {}
+        tok = []
+        for s in sentences:
+            ids = np.empty(len(s), np.int64)
+            for i, w in enumerate(s):
+                ids[i] = vocab.setdefault(w, len(vocab))
+            tok.append(ids)
+        n_tokens = max(1, len(vocab))
+
+        self.grams = []     # [n-1][sent] -> int64 array of compact gram ids
+        self.n_unique = []  # [n-1] -> number of distinct grams at level n
+        self.rep = []       # [n-1] -> (sent_idx, pos) arrays per compact id
+        prev = None
+        for n in range(1, n_max + 1):
+            if n == 1:
+                raw = tok
+            else:
+                raw = []
+                for p, t in zip(prev, tok):
+                    m = len(t) - n + 1
+                    if m <= 0:
+                        raw.append(np.empty(0, np.int64))
+                    else:
+                        # ((n-1)-gram id at pos) paired with token at pos+n-1;
+                        # prev ids are compact (< n_unique[-1] <= total
+                        # positions) so the product cannot overflow int64
+                        raw.append(p[:m] * n_tokens + t[n - 1:])
+            flat = np.concatenate(raw) if raw else np.empty(0, np.int64)
+            uniq, first_idx, inv = np.unique(flat, return_index=True,
+                                             return_inverse=True)
+            offs = np.cumsum([0] + [len(a) for a in raw])
+            compact = [inv[offs[i]:offs[i + 1]] for i in range(len(raw))]
+            sent_of = np.searchsorted(offs, first_idx, side="right") - 1
+            pos_of = first_idx - offs[sent_of] if len(first_idx) else first_idx
+            self.grams.append(compact)
+            self.n_unique.append(len(uniq))
+            self.rep.append((sent_of, pos_of))
+            prev = compact
+
+    def tuple_of(self, n, gram_id):
+        """Token tuple of compact gram id (for cached-df dict lookups)."""
+        s, p = self.rep[n - 1]
+        si, pi = int(s[gram_id]), int(p[gram_id])
+        return tuple(self.sentences[si][pi:pi + n])
+
+    def sentence_counts(self, n, sent_idx):
+        """(sorted unique gram ids, tf) for one sentence at level n."""
+        return np.unique(self.grams[n - 1][sent_idx], return_counts=True)
+
+
 class CiderD:
-    """Corpus-level CIDEr-D (ref: ciderD.py:17-55 + ciderD_scorer.py:51-220)."""
+    """Corpus-level CIDEr-D (ref: ciderD.py:17-55 + ciderD_scorer.py:51-220),
+    vectorized over interned n-gram ids."""
 
     def __init__(self, n: int = 4, sigma: float = 6.0, df: str = "corpus",
                  df_path: str | None = None):
@@ -53,86 +123,105 @@ class CiderD:
             self.ref_len = float(np.log(float(pkl["ref_len"])))
             self.document_frequency = pkl["document_frequency"]
 
-    # -- internals ----------------------------------------------------------
-    def _counts2vec(self, cnts, df, ref_len):
-        """tf-idf vectors per n (ref: ciderD_scorer.py:121-146)."""
-        vec = [defaultdict(float) for _ in range(self.n)]
-        norm = [0.0] * self.n
-        length = 0
-        for ngram, tf in cnts.items():
-            d = np.log(max(1.0, df[ngram]))
-            k = len(ngram) - 1
-            w = float(tf) * (ref_len - d)
-            vec[k][ngram] = w
-            norm[k] += w * w
-            if k == 1:
-                length += tf
-        norm = [np.sqrt(x) for x in norm]
-        return vec, norm, length
+    # -- similarity kernel ----------------------------------------------------
+    def _pair_val(self, wh, wr, hi, ri):
+        """Clipped term sum over common grams (ciderD_scorer.py:166-168)."""
+        _, ih, ir = np.intersect1d(hi, ri, assume_unique=True,
+                                   return_indices=True)
+        return float(np.sum(np.minimum(wh[ih], wr[ir]) * wr[ir]))
 
-    def _sim(self, vec_h, vec_r, norm_h, norm_r, len_h, len_r):
-        """Clipped cosine per n with length Gaussian (ref: ciderD_scorer.py:148-175)."""
+    def _apply_penalty(self, val, len_h, len_r):
         delta = float(len_h - len_r)
-        val = np.zeros(self.n)
-        for k in range(self.n):
-            for ngram, wh in vec_h[k].items():
-                val[k] += min(wh, vec_r[k][ngram]) * vec_r[k][ngram]
-            if norm_h[k] != 0 and norm_r[k] != 0:
-                val[k] /= norm_h[k] * norm_r[k]
-            assert not math.isnan(val[k])
-            val[k] *= np.e ** (-(delta ** 2) / (2 * self.sigma ** 2))
-        return val
+        return val * np.e ** (-(delta ** 2) / (2 * self.sigma ** 2))
 
     # -- public -------------------------------------------------------------
     def compute_score(self, gts: dict, res: list):
         """gts: {image_id: [ref strings]}; res: [{'image_id', 'caption': [hyp]}].
 
         Returns (mean_score, per-item scores ndarray) like ciderD.py:31-55."""
-        ctest, crefs = [], []
+        tests, ref_slices, all_sents = [], [], []
         for item in res:
             hyp = item["caption"]
             refs = gts[item["image_id"]]
             assert isinstance(hyp, list) and len(hyp) == 1
             assert isinstance(refs, list) and len(refs) > 0
-            ctest.append(precook(hyp[0], self.n))
-            crefs.append([precook(r, self.n) for r in refs])
+            tests.append(len(all_sents))
+            all_sents.append(hyp[0].split())
+            start = len(all_sents)
+            for r in refs:
+                all_sents.append(r.split())
+            ref_slices.append(range(start, len(all_sents)))
 
+        idx = _GramIndex(all_sents, self.n)
+        n_items = len(res)
+
+        # per-sentence (gram ids, tf) per level
+        per_sent = [[idx.sentence_counts(n, s) for s in range(len(all_sents))]
+                    for n in range(1, self.n + 1)]
+
+        # document frequency per level: ndarray over compact gram ids
+        dfs = []
         if self.df_mode == "corpus":
-            df = defaultdict(float)
-            for refs in crefs:
-                for ngram in set(ng for ref in refs for ng in ref):
-                    df[ngram] += 1
-            ref_len = float(np.log(float(len(crefs))))
+            ref_len = float(np.log(float(n_items)))
+            for n in range(1, self.n + 1):
+                df = np.zeros(max(1, idx.n_unique[n - 1]))
+                for sl in ref_slices:
+                    img_grams = np.unique(np.concatenate(
+                        [per_sent[n - 1][s][0] for s in sl]))
+                    df[img_grams] += 1.0
+                dfs.append(df)
         else:
-            df = self.document_frequency
-            if not isinstance(df, defaultdict):
-                df = defaultdict(float, df)
             ref_len = self.ref_len
+            table = self.document_frequency
+            for n in range(1, self.n + 1):
+                df = np.zeros(max(1, idx.n_unique[n - 1]))
+                for g in range(idx.n_unique[n - 1]):
+                    df[g] = table.get(idx.tuple_of(n, g), 0.0)
+                dfs.append(df)
 
-        scores = []
-        for test, refs in zip(ctest, crefs):
-            vec, norm, length = self._counts2vec(test, df, ref_len)
-            score = np.zeros(self.n)
-            for ref in refs:
-                vec_r, norm_r, len_r = self._counts2vec(ref, df, ref_len)
-                score += self._sim(vec, vec_r, norm, norm_r, length, len_r)
-            scores.append(float(np.mean(score) / len(refs) * 10.0))
-        scores = np.array(scores)
+        # tf-idf weight vectors + norms per sentence per level
+        # (ciderD_scorer.py:121-146); "length" = bigram count
+        W, norms = [], []
+        for n in range(1, self.n + 1):
+            wn, nn = [], []
+            idf = ref_len - np.log(np.maximum(1.0, dfs[n - 1]))
+            for gids, tf in per_sent[n - 1]:
+                w = tf.astype(np.float64) * idf[gids]
+                wn.append(w)
+                nn.append(float(np.sqrt(np.sum(w * w))))
+            W.append(wn)
+            norms.append(nn)
+        length = [int(np.sum(per_sent[1][s][1])) if self.n >= 2 else 0
+                  for s in range(len(all_sents))]
+
+        scores = np.empty(n_items)
+        for i in range(n_items):
+            t = tests[i]
+            score_n = np.zeros(self.n)
+            for r in ref_slices[i]:
+                for n0 in range(self.n):
+                    val = self._pair_val(
+                        W[n0][t], W[n0][r],
+                        per_sent[n0][t][0], per_sent[n0][r][0])
+                    if norms[n0][t] != 0 and norms[n0][r] != 0:
+                        val /= norms[n0][t] * norms[n0][r]
+                    score_n[n0] += self._apply_penalty(
+                        val, length[t], length[r])
+            scores[i] = float(np.mean(score_n) / len(ref_slices[i]) * 10.0)
         return float(np.mean(scores)), scores
 
 
 class Cider(CiderD):
     """Plain CIDEr (no clipping; ref: cider/pyciderevalcap/cider/cider_scorer.py).
 
-    Differs from CIDEr-D only in the similarity term (hyp * ref, no length
-    penalty per the original scorer — the vendored `cider` package's sim applies
-    no Gaussian and no clipping)."""
+    Differs from CIDEr-D only in the similarity term (hyp * ref) and the
+    absence of the Gaussian length penalty — the vendored `cider` package's
+    sim applies neither."""
 
-    def _sim(self, vec_h, vec_r, norm_h, norm_r, len_h, len_r):
-        val = np.zeros(self.n)
-        for k in range(self.n):
-            for ngram, wh in vec_h[k].items():
-                val[k] += wh * vec_r[k][ngram]
-            if norm_h[k] != 0 and norm_r[k] != 0:
-                val[k] /= norm_h[k] * norm_r[k]
+    def _pair_val(self, wh, wr, hi, ri):
+        _, ih, ir = np.intersect1d(hi, ri, assume_unique=True,
+                                   return_indices=True)
+        return float(np.sum(wh[ih] * wr[ir]))
+
+    def _apply_penalty(self, val, len_h, len_r):
         return val
