@@ -305,19 +305,20 @@ def beam_search(module, params, ctx, seq_length, beam_size,
     for pe in module.prefix_embeddings(params, ectx):
         state, _ = module.step(params, ectx, state, pe)
 
-    # Constraint-free path uses the fused beam head: per-beam top-m + lse come
-    # out of the vocab projection directly (no [R, V] log-softmax, no sort).
-    use_fused = not decoding_constraint
+    # Fused beam head: per-beam top-k + lse come out of the vocab projection
+    # directly (no [R, V] log-softmax, no sort).  With decoding_constraint one
+    # word per beam may be forbidden, so fetch k = m+1 candidates and mask —
+    # the masked top-m of those k equals the top-m of the masked distribution
+    # (the reference masks BEFORE its per-beam sort, AttModel.py:203-218, but
+    # AFTER log_softmax, so lse is over the full vocab either way).
+    kk = m + 1 if decoding_constraint else m
 
     def head(out):
-        if use_fused:
-            from cooperativeimagecaptioning_tpu.ops.pallas import beam_head
-            vals, idx, lse = beam_head.beam_head(
-                out, params["logit"]["w"], params["logit"]["b"], m)
-            lp_vals = (vals - lse[:, None]).reshape(B, m, m)
-            return (lp_vals, idx.reshape(B, m, m))
-        return jax.nn.log_softmax(
-            module.logits(params, out), axis=-1).reshape(B, m, nclass)
+        from cooperativeimagecaptioning_tpu.ops.pallas import beam_head
+        vals, idx, lse = beam_head.beam_head(
+            out, params["logit"]["w"], params["logit"]["b"], kk)
+        lp_vals = (vals - lse[:, None]).reshape(B, m, kk)
+        return (lp_vals, idx.reshape(B, m, kk))
 
     xt = module.embed_token(params, jnp.full((B * m,), bos, jnp.int32))
     state, out = module.step(params, ectx, state, xt)
@@ -335,37 +336,25 @@ def beam_search(module, params, ctx, seq_length, beam_size,
     def merge(t, lp, beam_seq, beam_logps, beam_sum,
               best_p, best_seq, best_logps):
         """One candidate expansion + reduction; returns new beams and best."""
-        lpf = lp
+        # lp = (per-beam top-kk log-softmax values [B,m,kk], ids [B,m,kk]);
+        # the global reduction over the m*m survivors is exactly the
+        # reference's per-beam-cols-then-global construction
+        # (AttModel.py:209-227)
+        top_lp, top_i = lp
         if decoding_constraint:
-            # ref AttModel.py:203-206: forbid repeating the word emitted at t-2
-            def apply_pen(lpf):
-                pen = jnp.zeros_like(lpf).at[
-                    jnp.arange(B)[:, None], jnp.arange(m)[None, :],
-                    beam_seq[:, :, t - 2]].set(NEG_INF)
-                return lpf + pen
-            lpf = jax.lax.cond(t > 1, apply_pen, lambda x: x, lpf)
-        if use_fused:
-            # lpf = (per-beam top-m log-softmax values [B,m,m], ids [B,m,m]);
-            # the global reduction over the m*m survivors is exactly the
-            # reference's per-beam-cols-then-global construction
-            # (AttModel.py:209-227)
-            top_lp, top_i = lpf
-            cand = beam_sum[:, :, None] + top_lp        # [B, m, m]
-            p, flat_idx = jax.lax.top_k(cand.reshape(B, m * m), m)
-            q = flat_idx // m
-            c = jnp.take_along_axis(top_i.reshape(B, m * m), flat_idx, axis=1)
-            r = jnp.take_along_axis(top_lp.reshape(B, m * m), flat_idx, axis=1)
-        else:
-            # Candidate expansion: global top-m over beam x vocab via TPU's
-            # PartialReduce (approx_max_k at recall 1.0 = exact, faster than
-            # top_k's sort at this width).
-            cand = beam_sum[:, :, None] + lpf  # [B, m, C]
-            p, flat_idx = jax.lax.approx_max_k(
-                cand.reshape(B, m * nclass), m, recall_target=1.0)
-            q = flat_idx // nclass  # source beam  [B, m]
-            c = flat_idx % nclass   # word id      [B, m]
-            r = jnp.take_along_axis(
-                lpf.reshape(B, m * nclass), flat_idx, axis=1)  # step logprob
+            # ref AttModel.py:203-206: forbid repeating the word emitted at
+            # t-2 (only for t > 1); reduce the masked kk=m+1 candidates back
+            # to the per-beam top-m the reference's cols loop considers
+            prev = beam_seq[:, :, t - 2]                # [B, m]
+            forbid = (top_i == prev[:, :, None]) & (t > 1)
+            top_lp = jnp.where(forbid, NEG_INF, top_lp)
+            top_lp, sel = jax.lax.top_k(top_lp, m)      # [B, m, m]
+            top_i = jnp.take_along_axis(top_i, sel, axis=2)
+        cand = beam_sum[:, :, None] + top_lp            # [B, m, m]
+        p, flat_idx = jax.lax.top_k(cand.reshape(B, m * m), m)
+        q = flat_idx // m
+        c = jnp.take_along_axis(top_i.reshape(B, m * m), flat_idx, axis=1)
+        r = jnp.take_along_axis(top_lp.reshape(B, m * m), flat_idx, axis=1)
         new_seq = jnp.take_along_axis(beam_seq, q[:, :, None], axis=1)
         new_seq = new_seq.at[:, :, t - 1].set(c)
         new_logps = jnp.take_along_axis(beam_logps, q[:, :, None], axis=1)
