@@ -136,6 +136,9 @@ _FLAGS = [
     ("audit_grad_isolation", int, 0, "debug: verify per-agent update "
                                      "isolation after every optimizer step "
                                      "(ref UpdateError machinery)"),
+    ("remat", int, 1, "rematerialize the teacher-forced scan (fused CE, no "
+                      "[B,T,V] residual): bit-identical grads, 2x faster at "
+                      "B=8192, unlocks B=16k+; 0 restores the plain scan"),
     ("prefetch_batches", int, 2, "host-side prefetch depth"),
     ("seed", int, 123, "global PRNG seed"),
     ("profile_dir", str, "", "jax profiler trace dir (empty = off)"),

@@ -133,6 +133,7 @@ def _sample_kwargs(opt, hp, train):
         prob_multinomial_soft=hp.prob_multinomial_soft,
         decoding_constraint=opt.decoding_constraint,
         train=train, drop_prob=opt.drop_prob_lm if train else 0.0,
+        remat=bool(getattr(opt, "remat", 0)) and train,
     )
 
 
@@ -215,10 +216,17 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
 
     # ---- MLE (ref :196-207) ----
     if opt.caption_loss_weight > 0:
-        lps = decoding.teacher_forced_logprobs(
-            spk, sp, ctx, labels[:, :-1], r["xe"], train, drop, hp.ss_prob)
-        loss_cap = losses.language_model_criterion(
-            lps, labels[:, 1:], masks[:, 1:])
+        if getattr(opt, "remat", 0):
+            # fused CE + rematerialized scan body: no [B, T, V+1] residual
+            loss_cap = decoding.teacher_forced_loss(
+                spk, sp, ctx, labels[:, :-1], labels[:, 1:], masks[:, 1:],
+                r["xe"], train, drop, hp.ss_prob)
+        else:
+            lps = decoding.teacher_forced_logprobs(
+                spk, sp, ctx, labels[:, :-1], r["xe"], train, drop,
+                hp.ss_prob)
+            loss_cap = losses.language_model_criterion(
+                lps, labels[:, 1:], masks[:, 1:])
         loss = loss + hp.caption_loss_weight * loss_cap
         aux["loss_cap"] = loss_cap
         aux["cap_xe"] = loss_cap

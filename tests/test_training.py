@@ -60,6 +60,7 @@ def test_phase1_listener_pretrain():
     assert "loss_cap" not in losses[0]
 
 
+@pytest.mark.slow
 def test_phase2_speaker_mle():
     """run_att.sh: pure MLE."""
     opt = tiny_opt(phase=2, vse_loss_weight=0, caption_loss_weight=1)
@@ -69,6 +70,7 @@ def test_phase2_speaker_mle():
     assert "loss_vse" not in losses[0]
 
 
+@pytest.mark.slow
 def test_phase2_loss_decreases():
     opt = tiny_opt(phase=2, vse_loss_weight=0, caption_loss_weight=1,
                    learning_rate=5e-3, drop_prob_lm=0.0)
@@ -81,6 +83,7 @@ def test_phase2_loss_decreases():
 
 @pytest.mark.parametrize("mode", ["gumbel", "gumbel_softmax", "multinomial",
                                   "multinomial_soft"])
+@pytest.mark.slow
 def test_joint_st_modes(mode):
     """run_joint.sh -o <mode>: alternating, disc + cider composition."""
     opt = tiny_opt(is_alternating=1, alternating_turn=["speaker", "listener"],
@@ -96,6 +99,7 @@ def test_joint_st_modes(mode):
     assert tr.turns == ["speaker"]
 
 
+@pytest.mark.slow
 def test_joint_reinforce_alternating_isolation():
     """reinforce: speaker turn must not move listener params and vice versa
     (the invariant the reference audits in changeModelUpdateStatus)."""
@@ -121,6 +125,7 @@ def test_joint_reinforce_alternating_isolation():
     assert any(leaves_changed(p1["listener"], p2["listener"]))
 
 
+@pytest.mark.slow
 def test_joint_gumbel_updates_both_agents():
     """Non-reinforce: both optimizers step on the (collapsed) speaker turn."""
     opt = tiny_opt(is_alternating=1, alternating_turn=["speaker", "listener"],
@@ -135,6 +140,7 @@ def test_joint_gumbel_updates_both_agents():
     assert any(leaves_changed(p0["listener"], p1["listener"]))
 
 
+@pytest.mark.slow
 def test_reinforce_baseline_types():
     for bl in ["greedy", "gt", "no"]:
         opt = tiny_opt(retrieval_reward="reinforce", retrieval_reward_weight=1,
@@ -156,6 +162,7 @@ def test_share_embed_stays_identical():
     tr.train_iteration()
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_roundtrip(tmp_path):
     opt = tiny_opt(phase=2, caption_loss_weight=1, vse_loss_weight=0,
                    checkpoint_path=str(tmp_path), id="t1",
@@ -176,6 +183,7 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     assert all(not c for c in leaves_changed(p_saved, tr2.params))
 
 
+@pytest.mark.slow
 def test_seq_per_img_replication():
     """seq_per_img=5: fc feats replicated per caption, rewards index
     gts[i % B // spi] correctly (ref dataloader.py:218, rewards.py:55)."""
@@ -212,6 +220,7 @@ def test_phase1_checkpoint_operations(tmp_path, monkeypatch):
     assert tr.best_val_score_vse is not None
 
 
+@pytest.mark.slow
 def test_only_one_retrieval_variants():
     """only_one_retrieval image/caption flows through the joint loss
     (ref VSEFCModel.py:202-207)."""
@@ -224,6 +233,7 @@ def test_only_one_retrieval_variants():
         assert np.isfinite(float(ld["loss"]))
 
 
+@pytest.mark.slow
 def test_runtime_grad_isolation_audit():
     """--audit_grad_isolation 1: a reinforce alternating run passes the
     per-turn isolation audit (ref UpdateError, AlternatingJointModel:571-686),
@@ -248,3 +258,42 @@ def test_runtime_grad_isolation_audit():
                                         tampered["listener"])
     with pytest.raises(audit.UpdateError):
         audit.audit_update(prev, tampered, ("speaker",))
+
+
+@pytest.mark.slow
+def test_remat_teacher_forced_loss_parity():
+    """--remat 1 (fused-CE rematerialized scan) is bit-identical to the
+    standard teacher-forced path in loss AND gradients."""
+    import jax.numpy as jnp
+    from cooperativeimagecaptioning_tpu.training import joint
+
+    def run(remat):
+        opt = tiny_opt(phase=3, caption_loss_weight=1, vse_loss_weight=0.2,
+                       retrieval_reward_weight=0, cider_optimization=0,
+                       remat=remat, ss_prob=0.15, drop_prob_lm=0.3)
+        opt.vocab_size = 12
+        opt.seq_length = 6
+        params = joint.init_params(jax.random.PRNGKey(0), opt)
+        rng = np.random.RandomState(0)
+        B, L = 4, 6
+        batch = {
+            "fc_feats": jnp.asarray(rng.randn(B, 20).astype(np.float32)),
+            "att_feats": jnp.asarray(
+                rng.randn(B, 5, 20).astype(np.float32)),
+            "att_masks": None,
+            "labels": jnp.asarray(np.concatenate(
+                [np.zeros((B, 1), np.int32),
+                 rng.randint(1, 13, (B, L)).astype(np.int32),
+                 np.zeros((B, 1), np.int32)], 1)),
+            "masks": jnp.ones((B, L + 2), jnp.float32)}
+        hp = joint.Hyper.from_opt(opt)
+        _, grad_fn = joint.make_step_fns(opt, "optimizer")
+        (loss, _), grads = grad_fn(params, batch, jax.random.PRNGKey(7), hp,
+                                   jnp.zeros((B,)))
+        return float(loss), jax.tree.leaves(grads)
+
+    l0, g0 = run(0)
+    l1, g1 = run(1)
+    assert abs(l0 - l1) < 1e-6
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
