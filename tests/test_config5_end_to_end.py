@@ -16,6 +16,7 @@ from cooperativeimagecaptioning_tpu.training.loop import Trainer
 h5py = pytest.importorskip("h5py")
 
 
+@pytest.mark.slow
 def test_resnet_to_reinforce_training(tmp_path):
     rng = np.random.RandomState(0)
     n_imgs = 8

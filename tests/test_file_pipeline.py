@@ -49,6 +49,7 @@ def build_data(tmp_path, n_imgs=12):
     return out_json, out_h5, str(fc_dir), str(att_dir)
 
 
+@pytest.mark.slow
 def test_file_pipeline_train_and_eval(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     out_json, out_h5, fc_dir, att_dir = build_data(tmp_path)

@@ -1,6 +1,7 @@
 """On-device hashed-ngram CIDEr-D vs the host string-protocol scorer."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -45,6 +46,7 @@ def test_device_matches_host_scorer():
     np.testing.assert_allclose(float(got_greedy), want_greedy, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_device_matches_host_spi1_short_seqs():
     gts, gen, greedy, _ = make_data(seed=3, n_img=4, spi=1, L=6, R=3, vocab=8)
     # heavy overlap regime: small vocab forces shared n-grams + clipping
@@ -59,6 +61,7 @@ def test_device_matches_host_spi1_short_seqs():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_exact_match_tops_batch():
     gts, gen, greedy, spi = make_data(seed=5)
     refs, rmask = ngram_device.pad_gts(gts)
@@ -161,6 +164,7 @@ def test_df_table_matches_host_cached_pickle(tmp_path):
     np.testing.assert_allclose(float(got_greedy), want[B:].mean(), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_trainer_uses_df_table(tmp_path, monkeypatch):
     """--cached_tokens <name> + --on_device_cider 1 loads data/<name>.p into a
     DfTable and trains through the table tier."""

@@ -1,11 +1,13 @@
 """Fused on-device CIDEr reward inside the training step (performance tier)."""
 
 import numpy as np
+import pytest
 
 from cooperativeimagecaptioning_tpu.training.loop import Trainer
 from test_training import tiny_opt, tiny_dataset
 
 
+@pytest.mark.slow
 def test_training_with_on_device_cider():
     opt = tiny_opt(is_alternating=1, alternating_turn=["speaker", "listener"],
                    retrieval_reward="gumbel", retrieval_reward_weight=0.1,
@@ -20,6 +22,7 @@ def test_training_with_on_device_cider():
         assert "loss_cider" in loss_dict
 
 
+@pytest.mark.slow
 def test_on_device_matches_host_reward_path():
     """Same config, host vs device reward tier: losses should be close (same
     trajectories via shared rng; rewards computed by the two tiers agree)."""
@@ -43,6 +46,7 @@ def test_on_device_matches_host_reward_path():
     assert abs(ld_h["loss"] - ld_d["loss"]) < 1e-3
 
 
+@pytest.mark.slow
 def test_training_with_soft_cider():
     """Flag-gated differentiable soft-CIDEr path (--soft_cider 1)."""
     opt = tiny_opt(is_alternating=1, alternating_turn=["speaker", "listener"],

@@ -2,6 +2,7 @@
 equivalence with the single-device step."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -45,6 +46,7 @@ def make_batch(opt, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_distributed_step_runs_and_matches_replicated():
     assert len(jax.devices()) >= 8
     opt = make_opt()

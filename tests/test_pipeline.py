@@ -4,6 +4,7 @@ run_fc_con -> run_att -> run_joint, with cross-stage checkpoint seeding)."""
 import os
 
 import numpy as np
+import pytest
 import jax
 
 from cooperativeimagecaptioning_tpu.config import Options
@@ -24,6 +25,7 @@ def ds(opt):
                             att_feat_size=opt.att_feat_size, max_K=6)
 
 
+@pytest.mark.slow
 def test_three_stage_pipeline(tmp_path):
     # ---- phase 1: listener pretrain (run_fc_con.sh semantics) ----
     p1_dir = str(tmp_path / "log_fc_con")

@@ -51,6 +51,7 @@ def run_losses(opt, n=4):
     return tr, out
 
 
+@pytest.mark.slow
 def test_trainer_dp8_matches_single_device():
     """Same seed, same data: 8-way data-parallel Trainer reproduces the
     single-device loss trajectory (the batch is sharded, grads all-reduced)."""
@@ -61,6 +62,7 @@ def test_trainer_dp8_matches_single_device():
     np.testing.assert_allclose(single, dp8, rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_joint_4x2_mesh():
     """Alternating gumbel + on-device CIDEr on a (4 data, 2 model) mesh:
     vocab-sharded logit/embed (divisibility-aware), finite losses, both turns."""
@@ -74,6 +76,7 @@ def test_trainer_joint_4x2_mesh():
         "data": 4, "model": 2}
 
 
+@pytest.mark.slow
 def test_trainer_host_reward_on_mesh():
     """Stage-A sampling + host CIDEr-D reward with sharded batches: the
     two-stage protocol works unchanged when the batch lives on the mesh."""
@@ -89,6 +92,7 @@ def test_trainer_host_reward_on_mesh():
     assert "avg_reward" in loss_dict and "cider_greedy" in loss_dict
 
 
+@pytest.mark.slow
 def test_trainer_mesh_checkpoint_roundtrip(tmp_path):
     """checkpoint_operations on the mesh (eval off gathered params, save), then
     a fresh mesh Trainer resumes with identical params."""
@@ -114,6 +118,7 @@ def test_trainer_mesh_checkpoint_roundtrip(tmp_path):
                                    atol=0)
 
 
+@pytest.mark.slow
 def test_cli_mesh_flag_routes_to_trainer():
     """`train.py --mesh_data_axis 8` surface: parse_opt consumes the flag and
     train() runs distributed."""
