@@ -20,14 +20,30 @@ from cooperativeimagecaptioning_tpu.evaluation import retrieval
 
 
 class Evaluator:
-    """Caches jitted eval programs for one opt configuration."""
+    """Caches jitted eval programs for one opt configuration.
 
-    def __init__(self, opt):
+    With a mesh (TPU-native addition; single-host meshes), eval batches are
+    sharded on the 'data' axis and the same jitted programs run GSPMD-
+    partitioned over all chips, so checkpoint evals scale with the Trainer
+    instead of falling back to one device."""
+
+    def __init__(self, opt, mesh=None):
         self.opt = opt
+        self.mesh = mesh
         self.speaker = model_zoo.setup(opt, opt.caption_model, "caption_model")
         self._decode_fns = {}
         self._loss_fn = None
         self._encode_fn = None
+
+    def _shard(self, x):
+        """Commit a batch array to the mesh ('data'-sharded when the leading
+        dim divides the axis, replicated otherwise); no-op without a mesh."""
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_data = self.mesh.shape.get("data", 1)
+        spec = P("data") if x.shape[0] % n_data == 0 else P()
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     # -- jitted pieces -------------------------------------------------------
     def _decode_fn(self, beam_size, sample_max=1, temperature=1.0):
@@ -90,13 +106,14 @@ class Evaluator:
 
     # -- helpers -------------------------------------------------------------
     def _batch_arrays(self, data):
-        batch = {"fc_feats": jnp.asarray(data["fc_feats"]),
-                 "labels": jnp.asarray(data["labels"]),
-                 "masks": jnp.asarray(data["masks"])}
+        batch = {"fc_feats": self._shard(jnp.asarray(data["fc_feats"])),
+                 "labels": self._shard(jnp.asarray(data["labels"])),
+                 "masks": self._shard(jnp.asarray(data["masks"]))}
         if data.get("att_feats") is not None and self.opt.use_att:
-            batch["att_feats"] = jnp.asarray(data["att_feats"])
-            batch["att_masks"] = (jnp.asarray(data["att_masks"])
-                                  if data.get("att_masks") is not None else None)
+            batch["att_feats"] = self._shard(jnp.asarray(data["att_feats"]))
+            batch["att_masks"] = (
+                self._shard(jnp.asarray(data["att_masks"]))
+                if data.get("att_masks") is not None else None)
         else:
             batch["att_feats"] = None
             batch["att_masks"] = None
@@ -105,10 +122,10 @@ class Evaluator:
     def _dedup(self, data, loader):
         """One feature row per image (ref: eval_utils.py:163-176)."""
         idx = np.arange(loader.batch_size) * loader.seq_per_img
-        fc = jnp.asarray(data["fc_feats"][idx])
-        att = jnp.asarray(data["att_feats"][idx]) \
+        fc = self._shard(jnp.asarray(data["fc_feats"][idx]))
+        att = self._shard(jnp.asarray(data["att_feats"][idx])) \
             if data.get("att_feats") is not None and self.opt.use_att else None
-        am = jnp.asarray(data["att_masks"][idx]) \
+        am = self._shard(jnp.asarray(data["att_masks"][idx])) \
             if data.get("att_masks") is not None and self.opt.use_att else None
         return fc, att, am
 
@@ -243,10 +260,10 @@ class Evaluator:
             data = loader.get_batch(split)
             n += loader.batch_size
             if not use_gen_sent:
-                fc = jnp.asarray(data["fc_feats"])
+                fc = self._shard(jnp.asarray(data["fc_feats"]))
                 img_emb, cap_emb = self.encode_fn(
-                    params, fc, jnp.asarray(data["labels"]),
-                    jnp.asarray(data["masks"]))
+                    params, fc, self._shard(jnp.asarray(data["labels"])),
+                    self._shard(jnp.asarray(data["masks"])))
             else:
                 fc, att, am = self._dedup(data, loader)
                 seq, _ = decode(params, fc, att, am)

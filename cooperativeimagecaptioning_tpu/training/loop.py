@@ -163,8 +163,14 @@ class Trainer:
         return jax.device_put(reward, NamedSharding(self.mesh, P("data")))
 
     def _eval_params(self):
-        """Params for the (single-device) evaluator: gathered off the mesh."""
+        """Params for the evaluator.  With a single-host mesh the Evaluator
+        runs GSPMD-partitioned on the mesh itself, so the sharded params pass
+        through; on a multi-host mesh (not fully addressable) they would need
+        gathering — detect and gather defensively."""
         if self.mesh is None:
+            return self.params
+        if all(d.process_index == jax.process_index()
+               for d in self.mesh.devices.flat):
             return self.params
         return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), self.params)
 
@@ -256,7 +262,10 @@ class Trainer:
         if self._evaluator is None:
             from cooperativeimagecaptioning_tpu.evaluation.eval_split import \
                 Evaluator
-            self._evaluator = Evaluator(self.opt)
+            mesh = self.mesh if self.mesh is not None and all(
+                d.process_index == jax.process_index()
+                for d in self.mesh.devices.flat) else None
+            self._evaluator = Evaluator(self.opt, mesh=mesh)
         return self._evaluator
 
     def checkpoint_operations(self):

@@ -135,3 +135,40 @@ def test_cli_mesh_flag_routes_to_trainer():
     trainer = train(opt, dataset=tiny_dataset(opt), max_iterations=2)
     assert trainer.mesh is not None
     assert trainer.iteration == 2
+
+
+@pytest.mark.slow
+def test_mesh_eval_matches_single_device(tmp_path):
+    """checkpoint eval runs GSPMD-partitioned ON the mesh (params stay
+    sharded, eval batches shard on 'data') and reproduces the single-device
+    eval: same predictions, same val losses, same language stats."""
+    def run(mesh):
+        opt = tiny_opt(phase=3, caption_loss_weight=1, vse_loss_weight=0.1,
+                       is_alternating=1, alternating_turn=["speaker"],
+                       retrieval_reward="gumbel", retrieval_reward_weight=0.1,
+                       cider_optimization=0, language_eval=1, rank_eval=1,
+                       mesh_data_axis=8 if mesh else 0,
+                       checkpoint_path=str(tmp_path / f"ckpt{mesh}"))
+        os.makedirs(opt.checkpoint_path, exist_ok=True)
+        tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+        for _ in range(2):
+            tr.train_iteration()
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            ev = tr.evaluator()
+            assert (ev.mesh is not None) == mesh
+            eval_kwargs = {"split": "val", "dataset": opt.input_json}
+            eval_kwargs.update(vars(opt))
+            return ev.eval_split(tr._eval_params(), tr.loader, eval_kwargs)
+        finally:
+            os.chdir(cwd)
+
+    vl0, preds0, ls0 = run(False)
+    vl1, preds1, ls1 = run(True)
+    assert [p["caption"] for p in preds0] == [p["caption"] for p in preds1]
+    for k in vl0:
+        if isinstance(vl0[k], (int, float)):
+            np.testing.assert_allclose(vl0[k], vl1[k], rtol=2e-4, atol=1e-5)
+    assert ls0.keys() == ls1.keys()
+    np.testing.assert_allclose(ls0["CIDEr"], ls1["CIDEr"], rtol=1e-6)
