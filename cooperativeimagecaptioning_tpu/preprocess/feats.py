@@ -117,3 +117,34 @@ def prepro_feats(input_json, images_root, output_dir, model_weights=None,
            for img in imgs]
     return extract_to_dirs(params, [loader(im) for im in imgs], ids,
                            output_dir, att_size, batch_size, resize_to)
+
+
+def main(argv=None):
+    """Standalone CLI (ref: prepro_feats.py:108-129)."""
+    import argparse
+    import json as _json
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input_json", required=True,
+                    help="dataset json (Karpathy split format)")
+    ap.add_argument("--output_dir", default="data",
+                    help="writes <dir>_fc/ and <dir>_att/")
+    ap.add_argument("--images_root", default="",
+                    help="root of raw image folders")
+    ap.add_argument("--att_size", default=14, type=int, help="14x14 or 7x7")
+    ap.add_argument("--model", default="resnet101", type=str,
+                    help="resnet101, resnet152")
+    ap.add_argument("--model_weights", default=None, type=str,
+                    help="pickled torchvision state_dict (converted)")
+    ap.add_argument("--dataset", default="coco", type=str)
+    ap.add_argument("--batch_size", default=8, type=int)
+    args = ap.parse_args(argv)
+    print("parsed input parameters:")
+    print(_json.dumps(vars(args), indent=2))
+    return prepro_feats(args.input_json, args.images_root, args.output_dir,
+                        model_weights=args.model_weights, arch=args.model,
+                        att_size=args.att_size, dataset=args.dataset,
+                        batch_size=args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

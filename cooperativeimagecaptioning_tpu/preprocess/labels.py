@@ -70,7 +70,8 @@ def encode_captions(imgs, wtoi, max_length: int = 16):
 
 
 def prepro_labels(input_json, output_json, output_h5, max_length: int = 16,
-                  word_count_threshold: int = 5, seed: int = 123):
+                  word_count_threshold: int = 5, seed: int = 123,
+                  dataset: str = "coco"):
     """Full pipeline (ref: prepro_labels.py:140-185)."""
     import h5py
     with open(input_json) as f:
@@ -90,12 +91,43 @@ def prepro_labels(input_json, output_json, output_h5, max_length: int = 16,
 
     out = {"ix_to_word": {str(k): v for k, v in itow.items()}, "images": []}
     for img in imgs:
-        jimg = {"split": img.get("split", "train"),
-                "id": img.get("cocoid", img.get("imgid"))}
-        if "filename" in img:
+        jimg = {"split": img.get("split", "train")}
+        if dataset in ("flickr8k", "flickr30k"):
+            # ref prepro_labels.py:171-175: flickr path = split/filename
+            jimg["id"] = img.get("imgid")
             jimg["file_path"] = "/".join(
-                [img.get("filepath", ""), img["filename"]]).lstrip("/")
+                [img.get("split", ""), img["filename"]]).lstrip("/")
+        else:
+            jimg["id"] = img.get("cocoid", img.get("imgid"))
+            if "filename" in img:
+                jimg["file_path"] = "/".join(
+                    [img.get("filepath", ""), img["filename"]]).lstrip("/")
         out["images"].append(jimg)
     with open(output_json, "w") as f:
         json.dump(out, f)
     return out
+
+
+def main(argv=None):
+    """Standalone CLI (ref: prepro_labels.py:190-215); --output_h5 is the
+    stem, '_label.h5' is appended like the reference."""
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input_json", required=True,
+                    help="input json file to process into hdf5")
+    ap.add_argument("--output_json", default="data.json")
+    ap.add_argument("--output_h5", default="data",
+                    help="output h5 stem ('_label.h5' appended)")
+    ap.add_argument("--max_length", default=16, type=int)
+    ap.add_argument("--word_count_threshold", default=5, type=int)
+    ap.add_argument("--dataset", default="coco", type=str)
+    args = ap.parse_args(argv)
+    print("parsed input parameters:")
+    print(json.dumps(vars(args), indent=2))
+    return prepro_labels(args.input_json, args.output_json,
+                         args.output_h5 + "_label.h5", args.max_length,
+                         args.word_count_threshold, dataset=args.dataset)
+
+
+if __name__ == "__main__":
+    main()

@@ -71,3 +71,26 @@ def prepro_ngrams(input_json, dict_json, output_pkl, split: str = "train"):
         pickle.dump({"document_frequency": ngram_idxs, "ref_len": ref_len}, f,
                     protocol=pickle.HIGHEST_PROTOCOL)
     return ref_len
+
+
+def main(argv=None):
+    """Standalone CLI (ref: prepro_ngrams.py:126-142)."""
+    import argparse
+    import json as _json
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input_json", required=True,
+                    help="dataset json (Karpathy split format)")
+    ap.add_argument("--dict_json", default="data/cocotalk.json",
+                    help="output of prepro_labels (ix_to_word)")
+    ap.add_argument("--output_pkl", default="data/coco-all",
+                    help="stem; writes <stem>-words.p and <stem>-idxs.p")
+    ap.add_argument("--split", default="train", help="test, val, train, all")
+    args = ap.parse_args(argv)
+    print("parsed input parameters:")
+    print(_json.dumps(vars(args), indent=2))
+    return prepro_ngrams(args.input_json, args.dict_json, args.output_pkl,
+                         args.split)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,3 +84,48 @@ def test_prepro_ngrams_pickle_contract(tmp_path):
     res = [{"image_id": 0, "caption": ["3 4 5 0"]}]
     mean, scores = scorer.compute_score(gts, res)
     assert scores[0] > 0
+
+
+def test_prepro_cli_mains(tmp_path):
+    """The standalone prepro CLIs (ref: preprocess/prepro_{labels,ngrams}.py
+    argparse mains): labels stem gets '_label.h5' appended like the
+    reference, and the ngram CLI consumes the labels CLI's dict json."""
+    h5py = pytest.importorskip("h5py")
+    src, imgs = karpathy_json(tmp_path)
+    out_json = str(tmp_path / "talk.json")
+    stem = str(tmp_path / "talk")
+    L.main(["--input_json", src, "--output_json", out_json,
+            "--output_h5", stem, "--dataset", "coco"])
+    assert (tmp_path / "talk_label.h5").is_file()
+    with open(out_json) as f:
+        talk = json.load(f)
+    assert talk["images"][0]["id"] == 1000
+
+    pkl_stem = str(tmp_path / "df")
+    NG.main(["--input_json", src, "--dict_json", out_json,
+             "--output_pkl", pkl_stem, "--split", "train"])
+    for suffix in ("-words.p", "-idxs.p"):
+        with open(pkl_stem + suffix, "rb") as f:
+            pkl = pickle.load(f)
+        assert pkl["ref_len"] > 0 and len(pkl["document_frequency"]) > 0
+
+
+def test_prepro_labels_flickr_out_json(tmp_path):
+    """--dataset flickr30k: id = imgid, file_path = split/filename
+    (ref prepro_labels.py:171-175)."""
+    src, imgs = karpathy_json(tmp_path)
+    # flickr jsons carry imgid, no filepath
+    with open(src) as f:
+        data = json.load(f)
+    for i, img in enumerate(data["images"]):
+        img["imgid"] = 7000 + i
+        img.pop("filepath")
+    with open(src, "w") as f:
+        json.dump(data, f)
+    out_json = str(tmp_path / "f30k.json")
+    L.prepro_labels(src, out_json, str(tmp_path / "f30k_label.h5"),
+                    dataset="flickr30k")
+    with open(out_json) as f:
+        talk = json.load(f)
+    assert talk["images"][0]["id"] == 7000
+    assert talk["images"][0]["file_path"] == "train/img0.jpg"
