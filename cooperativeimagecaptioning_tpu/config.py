@@ -139,6 +139,9 @@ _FLAGS = [
     ("remat", int, 1, "rematerialize the teacher-forced scan (fused CE, no "
                       "[B,T,V] residual): bit-identical grads, 2x faster at "
                       "B=8192, unlocks B=16k+; 0 restores the plain scan"),
+    ("checkpoint_backend", str, "pth", "pth (reference pickle taxonomy) | "
+                                       "orbax (async atomic writes, restores "
+                                       "honor live shardings)"),
     ("prefetch_batches", int, 2, "host-side prefetch depth"),
     ("seed", int, 123, "global PRNG seed"),
     ("profile_dir", str, "", "jax profiler trace dir (empty = off)"),

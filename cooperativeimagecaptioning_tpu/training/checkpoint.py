@@ -11,6 +11,13 @@ Per run directory (opt.checkpoint_path):
 File contents are framework-native (numpy pytrees, not torch state_dicts) but the
 file layout, naming, and resume semantics are preserved so experiment tooling
 written against the reference keeps working.
+
+TPU-native tier: `--checkpoint_backend orbax` stores the model trees through
+orbax (async writes overlap with training; atomic directory commits;
+restores honor the live params' shardings, so a mesh Trainer resumes without
+a host gather). Artifact names keep the taxonomy with an `.orbax` directory
+suffix (alternatingModel.orbax, model-best.orbax, ...); optimizer states and
+infos/histories pickles are small and stay in the reference format.
 """
 
 from __future__ import annotations
@@ -105,20 +112,59 @@ def load_pkl(path):
 class CheckpointManager:
     def __init__(self, opt):
         self.opt = opt
+        self.backend = getattr(opt, "checkpoint_backend", "pth") or "pth"
+        self._orbax = None
         os.makedirs(opt.checkpoint_path, exist_ok=True)
+
+    # -- orbax tier -----------------------------------------------------------
+    def _orbax_ckptr(self):
+        if self._orbax is None:
+            import orbax.checkpoint as ocp
+            self._orbax = ocp.StandardCheckpointer()
+        return self._orbax
+
+    @staticmethod
+    def _orbax_path(pth_path):
+        return os.path.abspath(pth_path[:-4] + ".orbax")
+
+    def _save_tree(self, params, pth_path):
+        if self.backend == "orbax":
+            ck = self._orbax_ckptr()
+            ck.wait_until_finished()  # serialize with the previous async save
+            ck.save(self._orbax_path(pth_path), params, force=True)
+        else:
+            save_params(params, pth_path)
+
+    def _try_restore_tree(self, params, pth_path):
+        """Restore into the structure/shardings of `params`; None if absent."""
+        opath = self._orbax_path(pth_path)
+        if self.backend == "orbax" and os.path.isdir(opath):
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(
+                    jnp.shape(x), jnp.asarray(x).dtype,
+                    sharding=getattr(x, "sharding", None)), params)
+            return self._orbax_ckptr().restore(opath, abstract)
+        if os.path.isfile(pth_path):
+            return load_params_into(params, pth_path)
+        return None
+
+    def sync(self):
+        """Block until pending async (orbax) writes commit."""
+        if self._orbax is not None:
+            self._orbax.wait_until_finished()
 
     def save_model(self, params, iteration=None):
         """ref: train.py:121-129 (always latest; plus per-iteration copy)."""
         base = os.path.join(self.opt.checkpoint_path,
                             model_filename(self.opt))
-        save_params(params, base)
+        self._save_tree(params, base)
         if iteration is not None:
-            save_params(params, os.path.join(
+            self._save_tree(params, os.path.join(
                 self.opt.checkpoint_path,
                 model_filename(self.opt, iteration=iteration)))
 
     def save_best(self, params, vse=False):
-        save_params(params, os.path.join(
+        self._save_tree(params, os.path.join(
             self.opt.checkpoint_path,
             model_filename(self.opt, best=not vse, vse_best=vse)))
 
@@ -157,8 +203,9 @@ class CheckpointManager:
         kind = "alternatingModel" if self.opt.is_alternating else "model"
         name = f"{kind}-{iteration}.pth" if iteration else f"{kind}.pth"
         path = os.path.join(sf, name)
-        if os.path.isfile(path):
-            return load_params_into(params, path), True
+        restored = self._try_restore_tree(params, path)
+        if restored is not None:
+            return restored, True
         return params, False
 
     def load_infos(self):

@@ -1,0 +1,70 @@
+"""Orbax checkpoint tier (--checkpoint_backend orbax): async atomic model
+saves with the reference naming taxonomy (.orbax dirs), restores that honor
+the live params' shardings (mesh resume without a host gather)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from test_training import tiny_opt, tiny_dataset
+from cooperativeimagecaptioning_tpu.training.loop import Trainer
+
+
+def test_orbax_roundtrip_single_device(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    opt = tiny_opt(phase=2, vse_loss_weight=0, caption_loss_weight=1,
+                   checkpoint_path=ckpt, start_from=ckpt, load_best_score=0,
+                   checkpoint_backend="orbax")
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    for _ in range(2):
+        tr.train_iteration()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        tr.checkpoint_operations()
+    finally:
+        os.chdir(cwd)
+    tr.ckpt.sync()
+    names = sorted(os.listdir(ckpt))
+    assert "model.orbax" in names and "model-2.orbax" in names
+    assert "model-best.orbax" in names
+    assert not any(n.endswith("model.pth") for n in names)
+
+    tr2 = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    assert tr2.iteration == tr.iteration
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_orbax_mesh_resume_keeps_shardings(tmp_path):
+    """Resume a mesh Trainer from an orbax checkpoint: params restore and
+    train on the (4 data, 2 model) mesh; values match the saved tree."""
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    common = dict(phase=2, vse_loss_weight=0, caption_loss_weight=1,
+                  checkpoint_path=ckpt, start_from=ckpt, load_best_score=0,
+                  checkpoint_backend="orbax", mesh_data_axis=4,
+                  mesh_model_axis=2)
+    opt = tiny_opt(**common)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    for _ in range(2):
+        tr.train_iteration()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        tr.checkpoint_operations()
+    finally:
+        os.chdir(cwd)
+    tr.ckpt.sync()
+
+    tr2 = Trainer(tiny_opt(**common), dataset=tiny_dataset(opt),
+                  verbose=False)
+    assert tr2.mesh is not None
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    loss_dict, _, _ = tr2.train_iteration()
+    assert np.isfinite(float(loss_dict["loss"]))
