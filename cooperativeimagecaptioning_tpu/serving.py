@@ -1,0 +1,186 @@
+"""Serving: a warm, bucketed captioning service over a trained checkpoint.
+
+Deployment tier (no reference counterpart — the reference serves nothing;
+its closest surface is eval.py's batch decode).  TPU-native serving needs
+static shapes: every distinct (batch, K) signature would recompile the decode
+graph, so requests are padded up to a fixed set of batch buckets (and a fixed
+attention length), each bucket compiling exactly once.  Decode runs greedy or
+beam (the final-eval protocol is beam 2, ref eval.py:33) in bf16 by default.
+
+Usage:
+    svc = CaptioningService.from_run_dir("runs/gumbel_x", beam_size=2)
+    svc.warmup()                       # compile all buckets up front
+    sentences = svc.caption(fc_feats, att_feats, att_masks)
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cooperativeimagecaptioning_tpu import models as model_zoo
+from cooperativeimagecaptioning_tpu.ops import decoding
+from cooperativeimagecaptioning_tpu.training import checkpoint as ckpt_mod
+from cooperativeimagecaptioning_tpu.training import joint
+from cooperativeimagecaptioning_tpu.utils import decode_sequence
+
+DEFAULT_BUCKETS = (1, 8, 64, 512, 4096)
+
+
+class CaptioningService:
+    """Stateless jitted decode over fixed batch buckets."""
+
+    def __init__(self, opt, params, vocab, beam_size: int = 0,
+                 buckets=DEFAULT_BUCKETS, compute_dtype="bfloat16",
+                 max_att_len: int = 0):
+        self.opt = opt
+        self.vocab = vocab
+        self.beam_size = int(beam_size or 0)
+        self.buckets = tuple(sorted(buckets))
+        self.max_att_len = max_att_len or getattr(opt, "max_att_len", 0) or 36
+        self.speaker = model_zoo.setup(opt, opt.caption_model,
+                                       "caption_model")
+        self._dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else \
+            jnp.float32
+        sp = joint.speaker_view(params, opt)
+        self.params = jax.tree.map(
+            lambda x: x.astype(self._dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, sp)
+        self._fns = {}
+
+    # -- constructors ---------------------------------------------------------
+    @classmethod
+    def from_run_dir(cls, run_dir, run_id: str = "", model_name: str = None,
+                     **kw):
+        """Load opt + vocab from infos_<id>.pkl and params from the best (or
+        given) model artifact — the artifacts a reference user already has."""
+        with open(os.path.join(run_dir, f"infos_{run_id}.pkl"), "rb") as f:
+            infos = pickle.load(f)
+        opt = infos["opt"]
+        vocab = infos["vocab"]
+        if model_name is None:
+            for cand in ("model-best.pth", "alternatingModel.pth",
+                         "model.pth"):
+                if os.path.isfile(os.path.join(run_dir, cand)) or \
+                        os.path.isdir(os.path.join(
+                            run_dir, cand[:-4] + ".orbax")):
+                    model_name = cand
+                    break
+            else:
+                raise FileNotFoundError(f"no model artifact in {run_dir}")
+        path = os.path.join(run_dir, model_name)
+        params = joint.init_params(jax.random.PRNGKey(0), opt)
+        mgr = ckpt_mod.CheckpointManager(opt)
+        restored = mgr._try_restore_tree(params, path)
+        if restored is None:
+            raise FileNotFoundError(path)
+        return cls(opt, restored, vocab, **kw)
+
+    # -- decode programs ------------------------------------------------------
+    def _fn(self, bucket: int, use_att: bool):
+        key = (bucket, use_att)
+        if key not in self._fns:
+            opt, spk, m = self.opt, self.speaker, self.beam_size
+
+            def run(params, fc, att, att_masks):
+                ctx = spk.encode_features(params, fc, att, att_masks)
+                if m > 1:
+                    out = decoding.beam_search(
+                        spk, params, ctx, opt.seq_length, m,
+                        decoding_constraint=getattr(
+                            opt, "decoding_constraint", 0))
+                else:
+                    out = decoding.sample(
+                        spk, params, ctx, opt.seq_length,
+                        jax.random.PRNGKey(123), mode="greedy",
+                        decoding_constraint=getattr(
+                            opt, "decoding_constraint", 0))
+                return out.seq
+            self._fns[key] = jax.jit(run)
+        return self._fns[key]
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def warmup(self, use_att=None):
+        """Compile every bucket up front (serving readiness)."""
+        if use_att is None:
+            use_att = self.opt.caption_model != "fc"
+        for b in self.buckets:
+            self._run_bucket(np.zeros((b, self.opt.fc_feat_size), np.float32),
+                             np.zeros((b, self.max_att_len,
+                                       self.opt.att_feat_size), np.float32)
+                             if use_att else None,
+                             np.ones((b, self.max_att_len), np.float32)
+                             if use_att else None, b)
+
+    def _host_cast(self, x):
+        """Cast on HOST before the transfer: bf16 features ship half the
+        bytes (the dominant serving cost is host->device feature traffic)."""
+        if self._dtype == jnp.bfloat16:
+            import ml_dtypes
+            return np.asarray(x).astype(ml_dtypes.bfloat16)
+        return np.asarray(x, np.float32)
+
+    def _run_bucket(self, fc, att, att_masks, bucket):
+        fn = self._fn(bucket, att is not None)
+        fc = jnp.asarray(self._host_cast(fc))
+        att = jnp.asarray(self._host_cast(att)) if att is not None else None
+        am = jnp.asarray(att_masks, jnp.float32) \
+            if att_masks is not None else None
+        return fn(self.params, fc, att, am)
+
+    # -- public ---------------------------------------------------------------
+    def caption_ids(self, fc_feats, att_feats=None, att_masks=None):
+        """[n, ...] features -> [n, seq_length] decoded ids (0-padded)."""
+        n = int(np.asarray(fc_feats).shape[0])
+        b = self._bucket_for(n)
+
+        def pad0(x, to):
+            x = np.asarray(x)
+            if x.shape[0] == to:
+                return x
+            return np.concatenate(
+                [x, np.zeros((to - x.shape[0],) + x.shape[1:], x.dtype)])
+
+        outs = []
+        for start in range(0, n, b):
+            chunk = slice(start, min(start + b, n))
+            fc = pad0(np.asarray(fc_feats)[chunk], b)
+            att = None
+            am = None
+            if att_feats is not None:
+                a = np.asarray(att_feats)[chunk]
+                K = self.max_att_len
+                if a.shape[1] < K:
+                    a = np.pad(a, ((0, 0), (0, K - a.shape[1]), (0, 0)))
+                else:
+                    a = a[:, :K]
+                att = pad0(a, b)
+                m = np.asarray(att_masks)[chunk] if att_masks is not None \
+                    else np.ones(np.asarray(att_feats)[chunk].shape[:2],
+                                 np.float32)
+                if m.shape[1] < K:
+                    m = np.pad(m, ((0, 0), (0, K - m.shape[1])))
+                else:
+                    m = m[:, :K]
+                # padded rows need >= 1 valid key for the masked softmax
+                m = pad0(m, b)
+                m[:, 0] = 1.0
+                am = m
+            seq = np.asarray(self._run_bucket(fc, att, am, b))
+            outs.append(seq[: chunk.stop - chunk.start])
+        return np.concatenate(outs, axis=0)
+
+    def caption(self, fc_feats, att_feats=None, att_masks=None):
+        """[n, ...] features -> list of n caption strings."""
+        ids = self.caption_ids(fc_feats, att_feats, att_masks)
+        return decode_sequence(self.vocab, ids)

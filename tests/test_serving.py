@@ -1,0 +1,84 @@
+"""Serving tier: warm bucketed captioning over a trained run dir."""
+
+import os
+
+import numpy as np
+import pytest
+
+from test_training import tiny_opt, tiny_dataset
+from cooperativeimagecaptioning_tpu.serving import CaptioningService
+from cooperativeimagecaptioning_tpu.training.loop import Trainer
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    ckpt = str(tmp / "ckpt")
+    os.makedirs(ckpt)
+    opt = tiny_opt(phase=2, vse_loss_weight=0, caption_loss_weight=1,
+                   checkpoint_path=ckpt, load_best_score=0, rank_eval=0,
+                   language_eval=0)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    for _ in range(3):
+        tr.train_iteration()
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        tr.checkpoint_operations()
+    finally:
+        os.chdir(cwd)
+    return ckpt, opt, tr
+
+
+def test_service_matches_direct_decode(run_dir):
+    ckpt, opt, tr = run_dir
+    svc = CaptioningService.from_run_dir(ckpt, buckets=(4, 8),
+                                         compute_dtype="float32",
+                                         max_att_len=6)
+    rng = np.random.RandomState(0)
+    n = 3  # pads into the 4-bucket
+    fc = rng.randn(n, opt.fc_feat_size).astype(np.float32)
+    att = rng.randn(n, 6, opt.att_feat_size).astype(np.float32)
+    sents = svc.caption(fc, att)
+    assert len(sents) == n and all(isinstance(s, str) for s in sents)
+
+    # direct decode on the same params must give the same ids
+    import jax
+    import jax.numpy as jnp
+    from cooperativeimagecaptioning_tpu.ops import decoding
+    from cooperativeimagecaptioning_tpu.training import joint
+    sp = joint.speaker_view(tr.params, opt)
+    ctx = svc.speaker.encode_features(sp, jnp.asarray(fc), jnp.asarray(att),
+                                      jnp.ones((n, 6)))
+    direct = decoding.sample(svc.speaker, sp, ctx, opt.seq_length,
+                             jax.random.PRNGKey(123), mode="greedy").seq
+    got = svc.caption_ids(fc, att)
+    np.testing.assert_array_equal(got, np.asarray(direct))
+
+
+def test_service_chunks_large_requests(run_dir):
+    ckpt, opt, _ = run_dir
+    svc = CaptioningService.from_run_dir(ckpt, buckets=(4,),
+                                         compute_dtype="float32",
+                                         max_att_len=6)
+    rng = np.random.RandomState(1)
+    n = 10  # 3 chunks of the 4-bucket
+    fc = rng.randn(n, opt.fc_feat_size).astype(np.float32)
+    att = rng.randn(n, 6, opt.att_feat_size).astype(np.float32)
+    ids = svc.caption_ids(fc, att)
+    assert ids.shape[0] == n
+    # chunking must not change per-row results
+    ids_one = svc.caption_ids(fc[:4], att[:4])
+    np.testing.assert_array_equal(ids[:4], ids_one)
+
+
+def test_service_beam_protocol_and_warmup(run_dir):
+    ckpt, opt, _ = run_dir
+    svc = CaptioningService.from_run_dir(ckpt, beam_size=2, buckets=(4,),
+                                         compute_dtype="float32",
+                                         max_att_len=6)
+    svc.warmup()
+    rng = np.random.RandomState(2)
+    sents = svc.caption(rng.randn(2, opt.fc_feat_size).astype(np.float32),
+                        rng.randn(2, 6, opt.att_feat_size).astype(np.float32))
+    assert len(sents) == 2
