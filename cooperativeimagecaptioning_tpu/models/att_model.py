@@ -74,6 +74,20 @@ def encode_features(params, fc_feats, att_feats, att_masks, rng=None, train=Fals
     return {"att_feats": emb, "p_att_feats": p_att, "att_masks": att_masks}
 
 
+def quantize_ctx(ctx):
+    """int8-quantize the per-sequence attention context for decode.
+
+    att_feats/p_att_feats are constant across the ~L decode steps and dominate
+    the per-step HBM traffic; per-(b,k)-row int8 halves it vs bf16 (decode-time
+    opt-in via --att_quant int8; training keeps the full-precision ctx).
+    """
+    from cooperativeimagecaptioning_tpu.ops.pallas import att_step
+    eq, se, pq, sp = att_step.quantize_features(
+        ctx["att_feats"], ctx["p_att_feats"])
+    return {"att_feats_q": eq, "att_scale": se,
+            "p_att_q": pq, "p_att_scale": sp, "att_masks": ctx["att_masks"]}
+
+
 def prefix_embeddings(params, ctx, rng=None, train=False):
     """No pre-BOS inputs for the attention model."""
     del params, ctx, rng, train
@@ -109,10 +123,17 @@ def step(params, ctx, state, xt, rng=None, train=False, drop_prob: float = 0.0):
     core = params["core"]
     ap = core["attention"]
     from cooperativeimagecaptioning_tpu.ops.pallas import att_step, cell_step
-    att_res = att_step.fused_attention(
-        h_prev, ctx["att_feats"], ctx["p_att_feats"],
-        ap["h2att"]["w"], ap["h2att"]["b"],
-        ap["alpha_net"]["w"], ap["alpha_net"]["b"], ctx["att_masks"])
+    if "att_feats_q" in ctx:
+        att_res = att_step.fused_attention_q(
+            h_prev, ctx["att_feats_q"], ctx["att_scale"],
+            ctx["p_att_q"], ctx["p_att_scale"],
+            ap["h2att"]["w"], ap["h2att"]["b"],
+            ap["alpha_net"]["w"], ap["alpha_net"]["b"], ctx["att_masks"])
+    else:
+        att_res = att_step.fused_attention(
+            h_prev, ctx["att_feats"], ctx["p_att_feats"],
+            ap["h2att"]["w"], ap["h2att"]["b"],
+            ap["alpha_net"]["w"], ap["alpha_net"]["b"], ctx["att_masks"])
     next_h, next_c = cell_step.fused_cell(
         xt, h_prev, c_prev, att_res,
         core["i2h"]["w"], core["i2h"]["b"], core["h2h"]["w"], core["h2h"]["b"],

@@ -216,7 +216,8 @@ def sample(module, params, ctx, seq_length, rng, mode="greedy", temperature=1.0,
     select = _make_selector(mode, temperature, gumbel_temp, multinomial_temp,
                             prob_gumbel_softmax, prob_multinomial_soft)
 
-    fc_or_att = ctx.get("att_feats", ctx.get("fc_feats"))
+    fc_or_att = ctx.get(
+        "att_feats", ctx.get("att_feats_q", ctx.get("fc_feats")))
     B = fc_or_att.shape[0]
     nclass = params["logit"]["w"].shape[1]  # V+1
     vocab_plus2 = nclass + 1                # V+2
@@ -352,7 +353,8 @@ def beam_search(module, params, ctx, seq_length, beam_size,
         sums tie exactly across different words.
     Returns SampleOutput(seq [B, L], logprobs [B, L]).
     """
-    fc_or_att = ctx.get("att_feats", ctx.get("fc_feats"))
+    fc_or_att = ctx.get(
+        "att_feats", ctx.get("att_feats_q", ctx.get("fc_feats")))
     B = fc_or_att.shape[0]
     m = beam_size
     nclass = params["logit"]["w"].shape[1]

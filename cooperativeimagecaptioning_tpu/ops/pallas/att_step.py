@@ -39,6 +39,46 @@ def attention_reference(h, att_emb, p_att, w_h2att, b_h2att, w_alpha, b_alpha,
     return jnp.einsum("bk,bkh->bh", w, att_emb)
 
 
+# ---------------------------------------------------------------------------
+# int8-quantized feature streaming (decode-time)
+# ---------------------------------------------------------------------------
+#
+# Decode is bound by streaming att_emb [B,K,H] + p_att [B,K,A] from HBM every
+# step (STATUS.md roofline: ~91% of streaming bandwidth at bf16).  Both tensors
+# are constant across the ~L decode steps, so quantize them ONCE after
+# encode_features to per-(b,k)-row int8 and dequantize inside the kernel: HBM
+# traffic per step halves vs bf16 (quarters vs f32).  Per-row symmetric scales
+# keep the relative element error <= 1/254 of the row max.
+
+def quantize_features(att_emb, p_att):
+    """Per-(b,k) symmetric int8 quantization of the attention context.
+
+    Returns (emb_q int8 [B,K,H], emb_scale f32 [B,K],
+             p_q int8 [B,K,A], p_scale f32 [B,K]).
+    """
+    e = att_emb.astype(jnp.float32)
+    se = jnp.maximum(jnp.max(jnp.abs(e), axis=-1), 1e-12) / 127.0
+    eq = jnp.clip(jnp.round(e / se[..., None]), -127, 127).astype(jnp.int8)
+    p = p_att.astype(jnp.float32)
+    sp = jnp.maximum(jnp.max(jnp.abs(p), axis=-1), 1e-12) / 127.0
+    pq = jnp.clip(jnp.round(p / sp[..., None]), -127, 127).astype(jnp.int8)
+    return eq, se, pq, sp
+
+
+def dequantize_features(emb_q, emb_scale, p_q, p_scale):
+    emb = emb_q.astype(jnp.float32) * emb_scale[..., None]
+    p_att = p_q.astype(jnp.float32) * p_scale[..., None]
+    return emb, p_att
+
+
+def attention_reference_q(h, emb_q, emb_scale, p_q, p_scale,
+                          w_h2att, b_h2att, w_alpha, b_alpha, masks):
+    """Dequantize-then-reference semantics of the quantized kernel."""
+    emb, p_att = dequantize_features(emb_q, emb_scale, p_q, p_scale)
+    return attention_reference(h, emb, p_att, w_h2att, b_h2att, w_alpha,
+                               b_alpha, masks).astype(h.dtype)
+
+
 def _make_kernel(use_mask: bool):
     def kernel(*refs):
         if use_mask:
@@ -99,6 +139,102 @@ def _attention_pallas(h, att_emb, p_att, w_h2att, b_h2att, w_alpha, b_alpha,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H), h.dtype),
     )(*args)
+
+
+def _make_kernel_q(use_mask: bool):
+    def kernel(*refs):
+        if use_mask:
+            (h_ref, eq_ref, se_ref, pq_ref, sp_ref, wh_ref, bh_ref, wa_ref,
+             ba_ref, mask_ref, out_ref) = refs
+        else:
+            (h_ref, eq_ref, se_ref, pq_ref, sp_ref, wh_ref, bh_ref, wa_ref,
+             ba_ref, out_ref) = refs
+        att_h = jnp.dot(h_ref[:], wh_ref[:],
+                        preferred_element_type=jnp.float32) + bh_ref[:]
+        p_att = pq_ref[:].astype(jnp.float32) * sp_ref[:][:, :, None]
+        dot = jnp.tanh(p_att + att_h[:, None, :])
+        scores = jnp.sum(dot * wa_ref[:][:, 0][None, None, :],
+                         axis=2) + ba_ref[0, 0]
+        w = jax.nn.softmax(scores, axis=-1)
+        if use_mask:
+            w = w * mask_ref[:]
+            w = w / jnp.sum(w, axis=1, keepdims=True)
+        # fold the per-row dequant scale into the softmax weight: one [BB,K]
+        # multiply instead of scaling the [BB,K,H] block
+        ws = w * se_ref[:]
+        out_ref[:] = jnp.sum(
+            ws[:, :, None] * eq_ref[:].astype(jnp.float32),
+            axis=1).astype(out_ref.dtype)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "use_mask"))
+def _attention_pallas_q(h, emb_q, emb_scale, p_q, p_scale, w_h2att, b_h2att,
+                        w_alpha, b_alpha, masks, use_mask: bool,
+                        block_b: int = 64):
+    B, K, H = emb_q.shape
+    A = p_q.shape[2]
+    bb = min(block_b, B)
+    while B % bb:
+        bb //= 2
+    grid = (B // bb,)
+    in_specs = [
+        pl.BlockSpec((bb, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, K, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, K, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((A, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    args = [h, emb_q, emb_scale, p_q, p_scale, w_h2att,
+            b_h2att.reshape(1, -1), w_alpha, jnp.asarray(b_alpha).reshape(1, 1)]
+    if use_mask:
+        in_specs.append(pl.BlockSpec((bb, K), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(masks)
+    return pl.pallas_call(
+        _make_kernel_q(use_mask),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H), h.dtype),
+    )(*args)
+
+
+@jax.custom_vjp
+def fused_attention_q(h, emb_q, emb_scale, p_q, p_scale, w_h2att, b_h2att,
+                      w_alpha, b_alpha, masks):
+    """Quantized-context attention: Pallas on TPU, dequant+reference elsewhere.
+
+    The quantized tensors come from quantize_features (run once per decode);
+    gradients (only meaningful for h and the weights) flow through the
+    dequantized reference math.
+    """
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        try:
+            return _attention_pallas_q(h, emb_q, emb_scale, p_q, p_scale,
+                                       w_h2att, b_h2att, w_alpha, b_alpha,
+                                       masks, use_mask=masks is not None)
+        except Exception:
+            pass
+    return attention_reference_q(h, emb_q, emb_scale, p_q, p_scale,
+                                 w_h2att, b_h2att, w_alpha, b_alpha, masks)
+
+
+def _fwd_q(*args):
+    return fused_attention_q(*args), args
+
+
+def _bwd_q(args, g):
+    _, vjp = jax.vjp(attention_reference_q, *args)
+    return vjp(g.astype(args[0].dtype))
+
+
+fused_attention_q.defvjp(_fwd_q, _bwd_q)
 
 
 @jax.custom_vjp
