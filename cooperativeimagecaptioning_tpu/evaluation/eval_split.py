@@ -67,6 +67,9 @@ class Evaluator:
                     fc = cast(fc)
                     att = cast(att)
                 ctx = spk.encode_features(sp, fc, att, att_masks)
+                if getattr(opt, "att_quant", "") == "int8" and \
+                        hasattr(spk, "quantize_ctx"):
+                    ctx = spk.quantize_ctx(ctx)
                 if beam_size > 1:
                     out = decoding.beam_search(
                         spk, sp, ctx, opt.seq_length, beam_size,

@@ -37,9 +37,10 @@ class CaptioningService:
 
     def __init__(self, opt, params, vocab, beam_size: int = 0,
                  buckets=DEFAULT_BUCKETS, compute_dtype="bfloat16",
-                 max_att_len: int = 0):
+                 max_att_len: int = 0, att_quant: str = ""):
         self.opt = opt
         self.vocab = vocab
+        self.att_quant = att_quant or getattr(opt, "att_quant", "")
         self.beam_size = int(beam_size or 0)
         self.buckets = tuple(sorted(buckets))
         self.max_att_len = max_att_len or getattr(opt, "max_att_len", 0) or 36
@@ -87,8 +88,12 @@ class CaptioningService:
         if key not in self._fns:
             opt, spk, m = self.opt, self.speaker, self.beam_size
 
+            quant = self.att_quant
+
             def run(params, fc, att, att_masks):
                 ctx = spk.encode_features(params, fc, att, att_masks)
+                if quant == "int8" and hasattr(spk, "quantize_ctx"):
+                    ctx = spk.quantize_ctx(ctx)
                 if m > 1:
                     out = decoding.beam_search(
                         spk, params, ctx, opt.seq_length, m,

@@ -72,6 +72,34 @@ def test_service_chunks_large_requests(run_dir):
     np.testing.assert_array_equal(ids[:4], ids_one)
 
 
+def test_service_att_quant(run_dir):
+    """int8 att-context serving: same surface, captions still decode, and ids
+    match a direct decode over the quantized context."""
+    ckpt, opt, tr = run_dir
+    svc = CaptioningService.from_run_dir(ckpt, buckets=(4,),
+                                         compute_dtype="float32",
+                                         max_att_len=6, att_quant="int8")
+    rng = np.random.RandomState(3)
+    n = 3
+    fc = rng.randn(n, opt.fc_feat_size).astype(np.float32)
+    att = rng.randn(n, 6, opt.att_feat_size).astype(np.float32)
+    sents = svc.caption(fc, att)
+    assert len(sents) == n and all(isinstance(s, str) for s in sents)
+
+    import jax
+    import jax.numpy as jnp
+    from cooperativeimagecaptioning_tpu.ops import decoding
+    from cooperativeimagecaptioning_tpu.training import joint
+    sp = joint.speaker_view(tr.params, opt)
+    ctx = svc.speaker.encode_features(sp, jnp.asarray(fc), jnp.asarray(att),
+                                      jnp.ones((n, 6)))
+    qctx = svc.speaker.quantize_ctx(ctx)
+    direct = decoding.sample(svc.speaker, sp, qctx, opt.seq_length,
+                             jax.random.PRNGKey(123), mode="greedy").seq
+    np.testing.assert_array_equal(svc.caption_ids(fc, att),
+                                  np.asarray(direct))
+
+
 def test_service_beam_protocol_and_warmup(run_dir):
     ckpt, opt, _ = run_dir
     svc = CaptioningService.from_run_dir(ckpt, beam_size=2, buckets=(4,),
