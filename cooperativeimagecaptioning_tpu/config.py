@@ -130,7 +130,8 @@ _FLAGS = [
                                       "bfloat16 (training stays f32)"),
     ("att_quant", str, "", "decode-time attention-context quantization: "
                            "'' (off) | int8 (per-row scales; halves the "
-                           "HBM-bound per-step feature streaming)"),
+                           "context's HBM footprint for larger serving "
+                           "batches; throughput-neutral at B<=8192)"),
     ("mesh_data_axis", int, 0, "data-parallel mesh size: 0/1 = single-device, "
                                ">1 = shard batches over a (data, model) mesh"),
     ("mesh_model_axis", int, 1, "model (vocab) parallel mesh size; shards the "

@@ -105,16 +105,26 @@ def _make_kernel(use_mask: bool):
     return kernel
 
 
+def _pick_block_b(B, K, H, A, cap):
+    # Double-buffered [bb,K,H]+[bb,K,A] inputs plus the f32 tanh intermediate
+    # must fit the 16MB scoped VMEM.  bb=64 is the measured sweet spot at
+    # K=36, H=A=512 (128 OOMs there); scale down with K and the hidden dims so
+    # K=100 bottom-up features (and bigger att_hid_size) still compile.
+    budget = 64 * 36 * 512  # known-good bb*K*max(H,A) product
+    bb = min(cap, B)
+    while bb > 8 and bb * K * max(H, A) > budget:
+        bb //= 2
+    while B % bb:
+        bb //= 2
+    return max(bb, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("block_b", "use_mask"))
 def _attention_pallas(h, att_emb, p_att, w_h2att, b_h2att, w_alpha, b_alpha,
                       masks, use_mask: bool, block_b: int = 64):
-    # block_b=64: double-buffered [bb,K,H]+[bb,K,A] bf16 inputs + the f32 tanh
-    # intermediate must fit the 16MB scoped VMEM (128 OOMs at K=36, H=A=512)
     B, K, H = att_emb.shape
     A = p_att.shape[2]
-    bb = min(block_b, B)
-    while B % bb:
-        bb //= 2
+    bb = _pick_block_b(B, K, H, A, block_b)
     grid = (B // bb,)
     in_specs = [
         pl.BlockSpec((bb, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -174,9 +184,7 @@ def _attention_pallas_q(h, emb_q, emb_scale, p_q, p_scale, w_h2att, b_h2att,
                         block_b: int = 64):
     B, K, H = emb_q.shape
     A = p_q.shape[2]
-    bb = min(block_b, B)
-    while B % bb:
-        bb //= 2
+    bb = _pick_block_b(B, K, H, A, block_b)
     grid = (B // bb,)
     in_specs = [
         pl.BlockSpec((bb, H), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -59,3 +59,18 @@ def test_fused_attention_gradients():
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(h, emb, patt, wh)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_block_b_scales_with_K_and_dims():
+    """VMEM block sizing: bb*K*max(H,A) stays within the known-good budget so
+    K=100 bottom-up features (and larger att_hid_size) compile on TPU; B must
+    stay divisible by the block."""
+    pick = att_step._pick_block_b
+    assert pick(8192, 36, 512, 512, 64) == 64     # measured sweet spot
+    assert pick(8192, 100, 512, 512, 64) == 16    # K=100 fits scoped VMEM
+    assert pick(8192, 196, 512, 512, 64) == 8     # 14x14 grid features
+    assert pick(8192, 36, 512, 1024, 64) == 32    # bigger att_hid_size
+    for B, K in [(8192, 36), (8192, 100), (96, 100), (24, 196), (1, 36)]:
+        bb = pick(B, K, 512, 512, 64)
+        assert B % bb == 0 and bb >= 1
+        assert bb * K * 512 <= 64 * 36 * 512 or bb <= 8
