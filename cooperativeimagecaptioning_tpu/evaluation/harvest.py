@@ -70,16 +70,17 @@ def remove_unnecessary_models(metrics, run_dir):
     (ref :18-41)."""
     keep = set(metrics["test_models"].values())
     for fname in os.listdir(run_dir):
-        is_iter_model = (
-            (fname.startswith("alternatingModel-") or
-             (fname.startswith("model-") and len(fname) > 6 and
-              fname[6].isdigit())) and fname.endswith(".pth"))
-        if not is_iter_model:
+        if not _is_iter_model(fname):
             continue
         it = fname[fname.find("-") + 1: fname.find(".")]
         try:
             if int(it) not in keep:
-                os.remove(os.path.join(run_dir, fname))
+                path = os.path.join(run_dir, fname)
+                if os.path.isdir(path):  # orbax artifacts are directories
+                    import shutil
+                    shutil.rmtree(path)
+                else:
+                    os.remove(path)
         except ValueError:
             continue
     return metrics["test_models"]
@@ -182,14 +183,17 @@ def _is_run_dir(path):
         return False
 
 
+def _is_iter_model(fname):
+    """Per-iteration model artifact: <kind>-<iter>.pth or the orbax-backend
+    <kind>-<iter>.orbax directory."""
+    return ((fname.startswith("alternatingModel-") or
+             (fname.startswith("model-") and len(fname) > 6 and
+              fname[6].isdigit())) and
+            (fname.endswith(".pth") or fname.endswith(".orbax")))
+
+
 def _count_iter_models(run_dir):
-    n = 0
-    for f in os.listdir(run_dir):
-        if (f.startswith("alternatingModel-") or
-                (f.startswith("model-") and len(f) > 6 and f[6].isdigit())) \
-                and f.endswith(".pth"):
-            n += 1
-    return n
+    return sum(1 for f in os.listdir(run_dir) if _is_iter_model(f))
 
 
 def run_needs_update(run_dir, force_new_dict=False, min_models_in_dir=1):

@@ -133,15 +133,23 @@ def _pair_stats(hyp_words, ref_words):
 def sentence_stats(hyp: str, refs: list):
     """(score, stats) for the best-scoring reference (jar segment semantics)."""
     hyp_words = hyp.split()
-    best_score, best_stats = 0.0, [0.0] * 6
+    best_score, best_stats = 0.0, None
     for ref in refs:
         ref_words = ref.split()
         if not hyp_words or not ref_words:
             continue
         st = _pair_stats(hyp_words, ref_words)
         sc = _score_from_stats(st)
-        if sc >= best_score:
+        if sc >= best_score or best_stats is None:
             best_score, best_stats = sc, st
+    if best_stats is None:
+        # degenerate segment (empty hypothesis and/or references): zero
+        # matches, but the length denominators still count toward the corpus
+        # micro-average — the jar's EVAL aggregation includes them too
+        cw = lambda w: DELTA if w not in FUNCTION_WORDS else (1 - DELTA)
+        ref_words = next((r.split() for r in refs if r.split()), [])
+        best_stats = [0.0, sum(cw(w) for w in hyp_words), 0.0,
+                      sum(cw(w) for w in ref_words), 0.0, 0.0]
     return best_score, best_stats
 
 

@@ -345,15 +345,28 @@ double sentence_meteor_stats(const std::vector<std::string>& hyp,
                              const std::vector<std::vector<std::string>>& refs,
                              double out_stats[6]) {
   double best = 0.0;
+  bool found = false;
   for (int i = 0; i < 6; i++) out_stats[i] = 0.0;
   for (const auto& ref : refs) {
     if (hyp.empty() || ref.empty()) continue;
     double st[6];
     pair_stats(hyp, ref, st);
     double score = score_from_stats(st);
-    if (score >= best) {
+    if (score >= best || !found) {
       best = score;
       for (int i = 0; i < 6; i++) out_stats[i] = st[i];
+      found = true;
+    }
+  }
+  if (!found) {
+    // degenerate segment (empty hypothesis and/or references): zero matches,
+    // but the length denominators still count in the corpus micro-average
+    // (keep in sync with metrics/meteor.py sentence_stats)
+    for (const auto& w : hyp) out_stats[1] += content_weight(w);
+    for (const auto& ref : refs) {
+      if (ref.empty()) continue;
+      for (const auto& w : ref) out_stats[3] += content_weight(w);
+      break;
     }
   }
   return best;

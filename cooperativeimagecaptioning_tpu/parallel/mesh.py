@@ -37,13 +37,21 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard every array's leading (batch) axis over 'data'."""
-    sharding = NamedSharding(mesh, P("data"))
+    """Shard every array's leading (batch) axis over 'data'.
+
+    Leaves whose leading dim does not divide the axis (e.g. per-IMAGE reward
+    refs [n_img, R, L] next to per-SEQUENCE rows [n_img*seq_per_img, ...])
+    are replicated instead — GSPMD broadcasts them inside the step.
+    """
+    n_data = mesh.shape.get("data", 1)
+    sharded = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
 
     def put(x):
         if x is None:
             return None
-        return jax.device_put(x, sharding)
+        ok = np.ndim(x) > 0 and x.shape[0] % n_data == 0
+        return jax.device_put(x, sharded if ok else replicated)
     return jax.tree.map(put, batch, is_leaf=lambda x: x is None)
 
 

@@ -62,7 +62,12 @@ class CaptioningService:
         given) model artifact — the artifacts a reference user already has."""
         with open(os.path.join(run_dir, f"infos_{run_id}.pkl"), "rb") as f:
             infos = pickle.load(f)
-        opt = infos["opt"]
+        import copy
+        opt = copy.copy(infos["opt"])
+        # the infos opt carries the TRAINING machine's checkpoint_path;
+        # restoring must not mkdir (or fail on) that path here — the
+        # artifacts live in run_dir on this machine
+        opt.checkpoint_path = run_dir
         vocab = infos["vocab"]
         if model_name is None:
             for cand in ("model-best.pth", "alternatingModel.pth",
@@ -177,9 +182,14 @@ class CaptioningService:
                     m = np.pad(m, ((0, 0), (0, K - m.shape[1])))
                 else:
                     m = m[:, :K]
-                # padded rows need >= 1 valid key for the masked softmax
+                # filler rows (all-zero masks) need >= 1 valid key for the
+                # masked softmax; real rows keep the caller's mask untouched.
+                # pad0 copied when filler rows exist, so the write below can
+                # never alias the caller's array.
+                rows = chunk.stop - chunk.start
                 m = pad0(m, b)
-                m[:, 0] = 1.0
+                if rows < b:
+                    m[rows:, 0] = 1.0
                 am = m
             seq = np.asarray(self._run_bucket(fc, att, am, b))
             outs.append(seq[: chunk.stop - chunk.start])

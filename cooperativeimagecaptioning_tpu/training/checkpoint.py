@@ -49,9 +49,27 @@ def load_params(path):
         return _to_jax(pickle.load(f))
 
 
+def _orbax_sibling(path):
+    """The .orbax directory an orbax-backend save would have used for `path`,
+    or None if there isn't one on disk."""
+    if path.endswith(".pth"):
+        opath = os.path.abspath(path[:-4] + ".orbax")
+        if os.path.isdir(opath):
+            return opath
+    return None
+
+
 def load_params_into(params, path, strict=False):
     """Lenient merge like ref misc/utils.py:89-107: copy overlapping leaves,
-    report mismatches, keep the rest."""
+    report mismatches, keep the rest.  Falls back to the `.orbax` sibling of a
+    missing .pth so eval/harvest work on --checkpoint_backend orbax runs."""
+    opath = None if os.path.isfile(path) else _orbax_sibling(path)
+    if opath is not None:
+        import orbax.checkpoint as ocp
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            params)
+        return ocp.StandardCheckpointer().restore(opath, abstract)
     loaded = load_params(path)
 
     def merge(cur, new, prefix=""):
@@ -141,7 +159,7 @@ class CheckpointManager:
         if self.backend == "orbax" and os.path.isdir(opath):
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(
-                    jnp.shape(x), jnp.asarray(x).dtype,
+                    jnp.shape(x), jnp.result_type(x),
                     sharding=getattr(x, "sharding", None)), params)
             return self._orbax_ckptr().restore(opath, abstract)
         if os.path.isfile(pth_path):

@@ -119,3 +119,23 @@ def test_cocoeval_driver_end_to_end():
     for k in ("Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
         assert k in scores and np.isfinite(scores[k])
     assert ce.img_to_eval[0]["Bleu_1"] >= ce.img_to_eval[1]["Bleu_1"] - 1.0
+
+
+def test_meteor_empty_hypothesis_counts_denominators():
+    """A segment with an empty hypothesis contributes its reference length to
+    the corpus recall denominator (jar EVAL aggregation) instead of vanishing
+    from the micro-average."""
+    gts = {0: ["a man rides a red bike"], 1: ["a dog in the park"]}
+    res_empty = {0: ["a man rides a red bike"], 1: [""]}
+    part, per = meteor.compute_meteor(gts, res_empty)
+    assert per[1] == 0.0
+    only0, _ = meteor.compute_meteor({0: gts[0]}, {0: res_empty[0]})
+    assert part < only0  # the skipped-segment bug made these equal
+
+    # the pure-Python tier agrees (compute_meteor may dispatch to native)
+    import numpy as np
+    total = np.zeros(6)
+    for i in sorted(gts):
+        _, st = meteor.sentence_stats(res_empty[i][0], gts[i])
+        total += np.asarray(st)
+    assert abs(meteor._score_from_stats(total) - part) < 1e-12

@@ -68,3 +68,38 @@ def test_orbax_mesh_resume_keeps_shardings(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     loss_dict, _, _ = tr2.train_iteration()
     assert np.isfinite(float(loss_dict["loss"]))
+
+
+def test_load_params_into_orbax_fallback(tmp_path):
+    """eval/harvest load via the module-level load_params_into(.pth path):
+    on an orbax run the .pth is absent and the .orbax sibling must restore."""
+    from cooperativeimagecaptioning_tpu.training import checkpoint as ck
+    from cooperativeimagecaptioning_tpu.training import joint
+    opt = tiny_opt()
+    params = joint.init_params(jax.random.PRNGKey(0), opt)
+    import orbax.checkpoint as ocp
+    path = str(tmp_path / "model-7.pth")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ck.CheckpointManager._orbax_path(path), params)
+    ckptr.wait_until_finished()  # async save must commit before the restore
+    fresh = joint.init_params(jax.random.PRNGKey(1), opt)
+    restored = ck.load_params_into(fresh, path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_harvest_recognizes_orbax_artifacts(tmp_path):
+    """_count_iter_models and pruning treat <kind>-<it>.orbax directories as
+    per-iteration model artifacts (regression: orbax runs were mis-cached as
+    'no checkpoints' and never pruned)."""
+    from cooperativeimagecaptioning_tpu.evaluation import harvest
+    run = tmp_path / "run"
+    run.mkdir()
+    for it in (5, 10, 15):
+        (run / f"alternatingModel-{it}.orbax").mkdir()
+        (run / f"alternatingModel-{it}.orbax" / "blob").write_text("x")
+    assert harvest._count_iter_models(str(run)) == 3
+    metrics = {"test_models": {"cider": 10, "bleu4": 10, "t2i_r10": 15}}
+    harvest.remove_unnecessary_models(metrics, str(run))
+    left = sorted(os.listdir(run))
+    assert left == ["alternatingModel-10.orbax", "alternatingModel-15.orbax"]

@@ -110,3 +110,59 @@ def test_service_beam_protocol_and_warmup(run_dir):
     sents = svc.caption(rng.randn(2, opt.fc_feat_size).astype(np.float32),
                         rng.randn(2, 6, opt.att_feat_size).astype(np.float32))
     assert len(sents) == 2
+
+
+def test_service_does_not_mutate_caller_masks(run_dir):
+    """Full-bucket chunks must not write through to the caller's att_masks
+    (regression: m[:, 0] = 1.0 on a numpy view), and real rows' masks are
+    respected as given."""
+    ckpt, opt, tr = run_dir
+    svc = CaptioningService.from_run_dir(ckpt, buckets=(4,),
+                                         compute_dtype="float32",
+                                         max_att_len=6)
+    rng = np.random.RandomState(5)
+    n = 4  # == bucket: the no-padding path where pad0 may alias
+    fc = rng.randn(n, opt.fc_feat_size).astype(np.float32)
+    att = rng.randn(n, 6, opt.att_feat_size).astype(np.float32)
+    masks = np.zeros((n, 6), np.float32)
+    masks[:, 1:3] = 1.0  # slot 0 deliberately invalid
+    snapshot = masks.copy()
+    ids = svc.caption_ids(fc, att, masks)
+    np.testing.assert_array_equal(masks, snapshot)
+
+    # and the decode honored the caller's mask (slot 0 stays masked):
+    import jax
+    import jax.numpy as jnp
+    from cooperativeimagecaptioning_tpu.ops import decoding
+    from cooperativeimagecaptioning_tpu.training import joint
+    sp = joint.speaker_view(tr.params, opt)
+    ctx = svc.speaker.encode_features(sp, jnp.asarray(fc), jnp.asarray(att),
+                                      jnp.asarray(masks))
+    direct = decoding.sample(svc.speaker, sp, ctx, opt.seq_length,
+                             jax.random.PRNGKey(123), mode="greedy").seq
+    np.testing.assert_array_equal(ids, np.asarray(direct))
+
+
+def test_from_run_dir_ignores_training_checkpoint_path(run_dir, tmp_path):
+    """Serving a copied run dir must not mkdir (or require) the training
+    machine's checkpoint_path recorded in the infos pickle."""
+    import os
+    import pickle
+    import shutil
+    ckpt, opt, _ = run_dir
+    copied = str(tmp_path / "copied_run")
+    shutil.copytree(ckpt, copied)
+    with open(os.path.join(copied, "infos_.pkl"), "rb") as f:
+        infos = pickle.load(f)
+    stray = str(tmp_path / "machineA" / "does" / "not" / "exist")
+    infos["opt"].checkpoint_path = stray
+    with open(os.path.join(copied, "infos_.pkl"), "wb") as f:
+        pickle.dump(infos, f)
+    svc = CaptioningService.from_run_dir(copied, buckets=(4,),
+                                         compute_dtype="float32",
+                                         max_att_len=6)
+    assert not os.path.exists(stray)
+    rng = np.random.RandomState(0)
+    fc = rng.randn(2, opt.fc_feat_size).astype(np.float32)
+    att = rng.randn(2, 6, opt.att_feat_size).astype(np.float32)
+    assert len(svc.caption(fc, att)) == 2

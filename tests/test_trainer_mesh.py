@@ -172,3 +172,18 @@ def test_mesh_eval_matches_single_device(tmp_path):
             np.testing.assert_allclose(vl0[k], vl1[k], rtol=2e-4, atol=1e-5)
     assert ls0.keys() == ls1.keys()
     np.testing.assert_allclose(ls0["CIDEr"], ls1["CIDEr"], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_trainer_mesh_replicates_nondivisible_reward_refs():
+    """--on_device_cider with n_img not divisible by the data axis: the
+    per-IMAGE refs [n_img, R, L] cannot shard on 'data' (only the per-sequence
+    rows can) — shard_batch must replicate them instead of crashing
+    device_put (regression: ValueError 'dimension 0 should be divisible')."""
+    opt = tiny_opt(batch_size=4, seq_per_img=2, is_alternating=1,
+                   alternating_turn=["speaker"], retrieval_reward="gumbel",
+                   retrieval_reward_weight=0.1, cider_optimization=0.9,
+                   caption_loss_weight=1, vse_loss_weight=0.1, phase=3,
+                   on_device_cider=1, mesh_data_axis=8)
+    tr, losses = run_losses(opt, n=2)
+    assert all(np.isfinite(l) for l in losses)
