@@ -158,6 +158,31 @@ class Trainer:
             batch["att_masks"] = None
         return batch
 
+    def _prepare_batch(self, data):
+        """Host batch dict -> device arrays (+ reward refs, mesh shardings)."""
+        opt = self.opt
+        batch = self._batch_arrays(data, opt.use_att)
+        if joint.needs_device_refs(opt) and joint._cider_active(
+                opt, "optimizer") and data.get("gts"):
+            from cooperativeimagecaptioning_tpu.rewards import ngram_device
+            batch["refs"], batch["ref_mask"] = ngram_device.pad_gts(
+                data["gts"], seq_length=self.loader.seq_length)
+        if self.mesh is not None:
+            from cooperativeimagecaptioning_tpu import parallel
+            batch = parallel.shard_batch(batch, self.mesh)
+        if self._df_table is not None and "refs" in batch:
+            # replicated (not data-sharded) device constant
+            batch["df_table"] = self._df_table if self.mesh is None else \
+                jax.device_put(self._df_table, jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()))
+        return batch
+
+    def close(self):
+        """Stop background machinery (the loader's prefetch thread, if any)."""
+        closer = getattr(self.loader, "close", None)
+        if closer is not None:
+            closer()
+
     def _shard_reward(self, reward):
         from jax.sharding import NamedSharding, PartitionSpec as P
         return jax.device_put(reward, NamedSharding(self.mesh, P("data")))
@@ -190,20 +215,13 @@ class Trainer:
 
         if data is None:
             data = self.loader.get_batch("train")
-        batch = self._batch_arrays(data, opt.use_att)
-        if joint.needs_device_refs(opt) and joint._cider_active(
-                opt, "optimizer") and data.get("gts"):
-            from cooperativeimagecaptioning_tpu.rewards import ngram_device
-            batch["refs"], batch["ref_mask"] = ngram_device.pad_gts(
-                data["gts"], seq_length=self.loader.seq_length)
-        if self.mesh is not None:
-            from cooperativeimagecaptioning_tpu import parallel
-            batch = parallel.shard_batch(batch, self.mesh)
-        if self._df_table is not None and "refs" in batch:
-            # replicated (not data-sharded) device constant
-            batch["df_table"] = self._df_table if self.mesh is None else \
-                jax.device_put(self._df_table, jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec()))
+        # NOTE: no background "device prefetch" thread here on purpose — JAX's
+        # async dispatch already overlaps this host-side prep with the device
+        # executing the in-flight previous steps (nothing below forces a host
+        # sync); a measured attempt at a prefetch thread was 1.7x SLOWER from
+        # GIL contention with the dispatch path.  Host-side file IO overlap
+        # belongs in the loader's own prefetcher (data/loader.py).
+        batch = self._prepare_batch(data)
         hp = self._hyper()
         self._rng, rng = jax.random.split(self._rng)
 
@@ -372,6 +390,7 @@ class Trainer:
                 if self.verbose:
                     print("Finished training")
                 break
+        self.close()
         return self.params
 
 

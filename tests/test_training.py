@@ -297,3 +297,4 @@ def test_remat_teacher_forced_loss_parity():
     assert abs(l0 - l1) < 1e-6
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
