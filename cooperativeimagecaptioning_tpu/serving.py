@@ -199,3 +199,109 @@ class CaptioningService:
         """[n, ...] features -> list of n caption strings."""
         ids = self.caption_ids(fc_feats, att_feats, att_masks)
         return decode_sequence(self.vocab, ids)
+
+
+# ---------------------------------------------------------------------------
+# HTTP tier: a dependency-free JSON/npz endpoint over CaptioningService.
+# ---------------------------------------------------------------------------
+
+def make_http_server(service, host="127.0.0.1", port=8000):
+    """ThreadingHTTPServer over a CaptioningService.
+
+    POST /caption with either
+      * Content-Type application/x-npz — an np.savez payload with arrays
+        `fc` [n, fc_dim] and optional `att` [n, K, att_dim] / `att_masks`
+        [n, K] (the wire format for real feature volumes), or
+      * JSON {"fc": [[...]], "att": [[[...]]], "att_masks": [[...]]}
+    -> {"captions": [...], "ids": [[...]]}.  GET /healthz -> readiness +
+    bucket config.  Decode calls are serialized with a lock (the jitted
+    programs are thread-compatible but a single chip serves one batch at a
+    time anyway)."""
+    import io
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._send(404, {"error": "not found"})
+            self._send(200, {"status": "ok",
+                             "buckets": list(service.buckets),
+                             "beam_size": service.beam_size,
+                             "max_att_len": service.max_att_len})
+
+        def do_POST(self):
+            if self.path != "/caption":
+                return self._send(404, {"error": "not found"})
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n)
+            ctype = self.headers.get("Content-Type", "application/json")
+            try:
+                if "npz" in ctype:
+                    z = np.load(io.BytesIO(raw), allow_pickle=False)
+                    fc = z["fc"]
+                    att = z["att"] if "att" in z.files else None
+                    am = z["att_masks"] if "att_masks" in z.files else None
+                else:
+                    req = json.loads(raw.decode())
+                    fc = np.asarray(req["fc"], np.float32)
+                    att = np.asarray(req["att"], np.float32) \
+                        if req.get("att") is not None else None
+                    am = np.asarray(req["att_masks"], np.float32) \
+                        if req.get("att_masks") is not None else None
+                with lock:
+                    ids = service.caption_ids(fc, att, am)
+                caps = decode_sequence(service.vocab, ids)
+            except Exception as e:  # surface the error to the client
+                return self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            self._send(200, {"captions": caps, "ids": ids.tolist()})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    """python -m cooperativeimagecaptioning_tpu.serving --run_dir D [--port P]"""
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--run_id", default="")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--beam_size", type=int, default=0)
+    p.add_argument("--buckets", type=int, nargs="+",
+                   default=list(DEFAULT_BUCKETS))
+    p.add_argument("--max_att_len", type=int, default=0)
+    p.add_argument("--att_quant", default="")
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile every bucket before accepting requests")
+    a = p.parse_args(argv)
+    svc = CaptioningService.from_run_dir(
+        a.run_dir, run_id=a.run_id, beam_size=a.beam_size,
+        buckets=tuple(a.buckets), compute_dtype=a.compute_dtype,
+        max_att_len=a.max_att_len, att_quant=a.att_quant)
+    if a.warmup:
+        print("warming up buckets...", flush=True)
+        svc.warmup()
+    srv = make_http_server(svc, a.host, a.port)
+    print(f"serving {a.run_dir} on http://{a.host}:{a.port} "
+          f"(buckets {svc.buckets}, beam {svc.beam_size})", flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

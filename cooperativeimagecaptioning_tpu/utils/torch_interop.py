@@ -93,3 +93,71 @@ def load_torch_checkpoint(path, caption_model="att2in2", share_embed=False):
     sd = torch.load(path, map_location="cpu")
     return convert_state_dict(sd, caption_model=caption_model,
                               share_embed=share_embed)
+
+
+def _torch_linear(tree):
+    import torch
+    return {"weight": torch.from_numpy(np.asarray(tree["w"]).T.copy()),
+            "bias": torch.from_numpy(np.asarray(tree["b"]).copy())}
+
+
+def export_state_dict(params, caption_model="att2in2", wrapped=None):
+    """Our {'speaker'[, 'listener']} pytree -> a reference-shaped torch
+    state_dict (the inverse of convert_state_dict), so models trained here
+    load into the PyTorch reference via load_state_dict (use_bn=0 layout;
+    this build has no BatchNorm params to export).
+
+    Keys follow AlternatingJointModel naming (caption_generator./vse.
+    prefixes) when `wrapped` — default: wrapped iff a listener is present;
+    wrapped=False emits bare FCModel/AttModel keys for loading into a
+    standalone reference speaker."""
+    import torch
+    sd = {}
+
+    def put(prefix, tree):
+        for k, v in _torch_linear(tree).items():
+            sd[f"{prefix}.{k}"] = v
+
+    sp = params.get("speaker", params)
+    if wrapped is None:
+        wrapped = params.get("listener") is not None
+    cg = "caption_generator." if wrapped else ""
+    if caption_model == "fc":
+        put(cg + "img_embed", sp["img_embed"])
+        put(cg + "core.i2h", sp["core"]["i2h"])
+        put(cg + "core.h2h", sp["core"]["h2h"])
+        sd[cg + "embed.weight"] = torch.from_numpy(
+            np.asarray(sp["embed"]).copy())
+    else:
+        put(cg + "att_embed.0", sp["att_embed"])
+        put(cg + "ctx2att", sp["ctx2att"])
+        for name in ("i2h", "h2h", "a2c"):
+            put(cg + f"core.{name}", sp["core"][name])
+        put(cg + "core.attention.h2att", sp["core"]["attention"]["h2att"])
+        put(cg + "core.attention.alpha_net",
+            sp["core"]["attention"]["alpha_net"])
+        sd[cg + "embed.0.weight"] = torch.from_numpy(
+            np.asarray(sp["embed"]).copy())
+    put(cg + "logit", sp["logit"])
+
+    li = params.get("listener")
+    if li is not None:
+        put("vse.img_enc.fc", li["img_enc"]["fc"])
+        sd["vse.txt_enc.embed.weight"] = torch.from_numpy(
+            np.asarray(li["txt_enc"]["embed"]).copy())
+        rnn = li["txt_enc"]["rnn"]
+        sd["vse.txt_enc.rnn.weight_ih_l0"] = torch.from_numpy(
+            np.asarray(rnn["w_ih"]).T.copy())
+        sd["vse.txt_enc.rnn.weight_hh_l0"] = torch.from_numpy(
+            np.asarray(rnn["w_hh"]).T.copy())
+        sd["vse.txt_enc.rnn.bias_ih_l0"] = torch.from_numpy(
+            np.asarray(rnn["b_ih"]).copy())
+        sd["vse.txt_enc.rnn.bias_hh_l0"] = torch.from_numpy(
+            np.asarray(rnn["b_hh"]).copy())
+    return sd
+
+
+def save_torch_checkpoint(params, path, caption_model="att2in2"):
+    """Write a reference-loadable .pth for our params (torch required)."""
+    import torch
+    torch.save(export_state_dict(params, caption_model=caption_model), path)

@@ -166,3 +166,61 @@ def test_from_run_dir_ignores_training_checkpoint_path(run_dir, tmp_path):
     fc = rng.randn(2, opt.fc_feat_size).astype(np.float32)
     att = rng.randn(2, 6, opt.att_feat_size).astype(np.float32)
     assert len(svc.caption(fc, att)) == 2
+
+
+def test_http_endpoint(run_dir):
+    """POST /caption (json + npz payloads) and GET /healthz over the
+    stdlib HTTP tier."""
+    import io
+    import json
+    import threading
+    import urllib.request
+    from cooperativeimagecaptioning_tpu.serving import make_http_server
+
+    ckpt, opt, _ = run_dir
+    svc = CaptioningService.from_run_dir(ckpt, buckets=(4,),
+                                         compute_dtype="float32",
+                                         max_att_len=6)
+    srv = make_http_server(svc, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(base + "/healthz") as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok" and h["buckets"] == [4]
+
+        rng = np.random.RandomState(0)
+        n = 2
+        fc = rng.randn(n, opt.fc_feat_size).astype(np.float32)
+        att = rng.randn(n, 6, opt.att_feat_size).astype(np.float32)
+
+        req = urllib.request.Request(
+            base + "/caption",
+            data=json.dumps({"fc": fc.tolist(), "att": att.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            out_json = json.loads(r.read())
+        assert len(out_json["captions"]) == n
+
+        buf = io.BytesIO()
+        np.savez(buf, fc=fc, att=att)
+        req = urllib.request.Request(
+            base + "/caption", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npz"})
+        with urllib.request.urlopen(req) as r:
+            out_npz = json.loads(r.read())
+        assert out_npz["ids"] == out_json["ids"]
+
+        # malformed request -> 400 with an error message, server survives
+        req = urllib.request.Request(
+            base + "/caption", data=b"{}",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "error" in json.loads(e.read())
+    finally:
+        srv.shutdown()

@@ -75,3 +75,54 @@ def test_convert_joint_checkpoint_with_listener():
     got = np.asarray(vse.encode_image(params["listener"], opt,
                                       jnp.asarray(fcf)))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_export_att_checkpoint_loads_into_reference_and_bitmatches():
+    """Our params -> reference state_dict: strict load into the reference
+    Att2in2Model, then greedy decode IDs bit-match our decode."""
+    from cooperativeimagecaptioning_tpu.training import joint
+    opt = small_opt(caption_model="att2in2")
+    params = joint.init_params(jax.random.PRNGKey(7), opt)
+    sp = joint.speaker_view(params, opt)
+    sd = torch_interop.export_state_dict({"speaker": sp}, "att2in2",
+                                     wrapped=False)
+    tm = REF["AttModel"].Att2in2Model(NS(opt)).eval()
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    # the only tolerated missing keys are dropout/relu-free dupes — none
+    assert not [m for m in missing], missing
+
+    rng = np.random.RandomState(11)
+    B, K = 4, 6
+    fc = rng.randn(B, opt.fc_feat_size).astype(np.float32)
+    att = rng.randn(B, K, opt.att_feat_size).astype(np.float32)
+    with torch.no_grad():
+        t_seq, _ = tm.sample(torch.from_numpy(fc), torch.from_numpy(att),
+                             None, {"sample_max": 1, "beam_size": 1})
+    ctx = att_model.encode_features(sp, jnp.asarray(fc), jnp.asarray(att),
+                                    None)
+    out = decoding.sample(att_model, sp, ctx, opt.seq_length,
+                          jax.random.PRNGKey(0), mode="greedy")
+    T = t_seq.shape[1]
+    np.testing.assert_array_equal(np.asarray(out.seq)[:, :T], t_seq.numpy())
+
+
+def test_export_roundtrip_all_trees():
+    """export -> convert is the identity for fc, att2in2, and the listener."""
+    from cooperativeimagecaptioning_tpu.training import joint
+    for cm in ("fc", "att2in2"):
+        opt = vse_opt()
+        opt.caption_model = cm
+        for k, v in vars(small_opt(caption_model=cm)).items():
+            if not hasattr(opt, k) or getattr(opt, k) in (None, 0, ""):
+                setattr(opt, k, v)
+        opt.vse_model = "fc"
+        params = joint.init_params(jax.random.PRNGKey(3), opt)
+        tree = {"speaker": joint.speaker_view(params, opt),
+                "listener": params["listener"]}
+        sd = torch_interop.export_state_dict(tree, cm)
+        back = torch_interop.convert_state_dict(sd, cm)
+        a, b = jax.tree.leaves(tree), jax.tree.leaves(back)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
