@@ -298,6 +298,13 @@ class Trainer:
             "loss": val_loss, "lang_stats": lang_stats,
             "predictions": predictions}
 
+        skipped = self.optim.skipped_steps()
+        if skipped:
+            # the device-side non-finite guard rejected steps since start;
+            # surface it here (one host sync per checkpoint, not per step)
+            print(f"warning: non-finite guard skipped {skipped} update steps")
+        self.val_result_history[self.iteration]["skipped_steps"] = skipped
+
         current_score, current_score_vse = self._current_scores(
             lang_stats, val_loss)
         best_flag = self.best_val_score is None or \

@@ -66,6 +66,7 @@ class OptimizerManager:
         for agent in params:
             self.txs[agent] = make_tx(opt)
             self.states[agent] = self.txs[agent].init(params[agent])
+        self._skipped = jnp.zeros((), jnp.int32)
         self._update = jax.jit(self._update_impl, static_argnames=("agents",))
 
     def set_lr(self, lr: float):
@@ -97,7 +98,15 @@ class OptimizerManager:
         params, self.states, ok = self._update(params, grads, self.states,
                                                agents)
         self.last_step_ok = ok  # device scalar; inspect lazily if desired
+        # skipped-step counter stays on device (no per-iteration host sync);
+        # read it via skipped_steps() at checkpoint/log time
+        self._skipped = self._skipped + jnp.where(ok, 0, 1)
         return params
+
+    def skipped_steps(self) -> int:
+        """Steps the non-finite guard rejected so far (host sync: call at
+        checkpoint cadence, not per iteration)."""
+        return int(self._skipped)
 
     def state_dict(self):
         return self.states

@@ -298,3 +298,26 @@ def test_remat_teacher_forced_loss_parity():
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+
+
+def test_nonfinite_guard_counts_skipped_steps():
+    """NaN grads leave params + Adam state untouched and increment the
+    device-side skipped-step counter (read once, at checkpoint cadence)."""
+    from cooperativeimagecaptioning_tpu.training.optim import OptimizerManager
+    from cooperativeimagecaptioning_tpu.training import joint
+    import jax.numpy as jnp
+    opt = tiny_opt(phase=2, vse_loss_weight=0, caption_loss_weight=1)
+    opt.vocab_size, opt.seq_length = 25, 8
+    params = joint.init_params(jax.random.PRNGKey(0), opt)
+    om = OptimizerManager(opt, params)
+    good = jax.tree.map(jnp.ones_like, params)
+    bad = jax.tree.map(
+        lambda x: jnp.full_like(x, jnp.nan), params)
+    p1 = om.step(params, bad, "optimizer")
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert om.skipped_steps() == 1
+    p2 = om.step(p1, good, "optimizer")
+    assert om.skipped_steps() == 1
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)))
