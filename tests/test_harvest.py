@@ -5,6 +5,8 @@ import json
 import os
 import pickle
 
+import numpy as np
+
 import jax
 
 from cooperativeimagecaptioning_tpu.config import Options
@@ -105,3 +107,47 @@ def test_single_run_dir_cli(tmp_path):
         rep = json.load(f)
     assert rep["best_iteration_by"] == {"cider": 10, "bleu4": 15,
                                         "t2i_r10": 5}
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_full_harvest_with_real_test_reeval(tmp_path, monkeypatch):
+    """End-to-end: train a tiny run, checkpoint twice, then harvest WITH the
+    test re-evaluation (harvest.eval_test -> eval.eval on the selected
+    checkpoints) — the path every other harvest test stubs out."""
+    monkeypatch.chdir(tmp_path)
+    import jax as _jax
+    from cooperativeimagecaptioning_tpu.config import Options
+    from cooperativeimagecaptioning_tpu.training.loop import Trainer
+
+    ckpt = str(tmp_path / "run")
+    os.makedirs(ckpt)
+    ds = SyntheticDataset(num_images=24, vocab_size=20, seq_length=6,
+                          fc_feat_size=12, att_feat_size=12, max_K=5)
+    opt = Options(caption_model="att2in2", vse_model="fc", batch_size=6,
+                  seq_per_img=1, rnn_size=12, input_encoding_size=10,
+                  att_hid_size=8, vse_embed_size=12, fc_feat_size=12,
+                  att_feat_size=12, drop_prob_lm=0.0, learning_rate=1e-3,
+                  grad_clip=0.1, checkpoint_path=ckpt, id="hrun",
+                  save_checkpoint_every=3, losses_log_every=2,
+                  language_eval=1, rank_eval=1, max_epochs=-1, max_att_len=5,
+                  phase=2, caption_loss_weight=1, vse_loss_weight=0.1,
+                  val_images_use=-1, load_best_score=0)
+    tr = Trainer(opt, dataset=ds, verbose=False)
+    for _ in range(6):
+        tr.train_iteration()
+        if tr.iteration % opt.save_checkpoint_every == 0:
+            tr.checkpoint_operations()
+
+    path = harvest.create_dicts_and_json_after_training(
+        opt, dataset=ds, run_test_eval=True)
+    assert path is not None and os.path.isfile(path)
+    with open(os.path.join(ckpt, "test_dict.pkl"), "rb") as f:
+        test_dict = pickle.load(f)
+    assert test_dict, "test re-eval produced nothing"
+    for crit, payload in test_dict.items():
+        assert "CIDEr" in payload["lang_stats"]
+        assert np.isfinite(payload["loss"]["loss_cap"])
+        assert payload["split_predictions"]
