@@ -31,7 +31,11 @@ from cooperativeimagecaptioning_tpu.data.sources import FileDataset
 
 
 class _Prefetcher:
-    """Background thread that stays `depth` items ahead of the consumer."""
+    """Background thread that stays `depth` items ahead of the consumer.
+
+    Fetch errors are forwarded to the consumer (re-raised from get()) instead
+    of silently killing the worker, and close() JOINS the thread so callers
+    can rely on no in-flight fetch touching shared state afterwards."""
 
     def __init__(self, fetch_fn, depth: int):
         self.fetch_fn = fetch_fn
@@ -42,16 +46,24 @@ class _Prefetcher:
 
     def _run(self):
         while not self.stop.is_set():
-            item = self.fetch_fn()
+            try:
+                item = (True, self.fetch_fn())
+            except BaseException as e:  # surface to the consumer, then stop
+                item = (False, e)
             while not self.stop.is_set():
                 try:
                     self.q.put(item, timeout=0.1)
                     break
                 except queue.Full:
                     continue
+            if not item[0]:
+                return
 
     def get(self):
-        return self.q.get()
+        ok, item = self.q.get()
+        if not ok:
+            raise item
+        return item
 
     def close(self):
         self.stop.set()
@@ -60,6 +72,10 @@ class _Prefetcher:
                 self.q.get_nowait()
         except queue.Empty:
             pass
+        # join so no in-flight fetch_fn mutates loader state after close()
+        # (e.g. reset_iterator racing _next_index); the worker exits within
+        # one 0.1s put-timeout once the current fetch returns
+        self.thread.join()
 
 
 class DataLoader:
@@ -106,8 +122,11 @@ class DataLoader:
         return self.seq_length
 
     def reset_iterator(self, split):
-        self.iterators[split] = 0
+        # stop (and JOIN) the split's prefetch worker BEFORE zeroing the
+        # iterator — the old order let an in-flight _fetch_batch re-advance
+        # the counter after the reset, silently skipping the split's head
         self._drop_prefetcher(split)
+        self.iterators[split] = 0
 
     # -- iteration -----------------------------------------------------------
     def _next_index(self, split):
@@ -235,11 +254,18 @@ class DataLoader:
         batch_size = batch_size or self.batch_size
         if not self._prefetch_enabled:
             return self._fetch_batch(split, batch_size)
-        if split not in self._prefetchers:
-            self._prefetchers[split] = _Prefetcher(
+        pf = self._prefetchers.get(split)
+        if pf is not None and pf.batch_size != batch_size:
+            # a different batch_size invalidates the prefetched batches
+            self._drop_prefetcher(split)
+            pf = None
+        if pf is None:
+            pf = _Prefetcher(
                 lambda s=split, b=batch_size: self._fetch_batch(s, b),
                 self._prefetch_depth)
-        return self._prefetchers[split].get()
+            pf.batch_size = batch_size
+            self._prefetchers[split] = pf
+        return pf.get()
 
     def close(self):
         for split in list(self._prefetchers):

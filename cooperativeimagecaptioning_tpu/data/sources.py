@@ -58,6 +58,8 @@ class LmdbFeatureSource:
     def get(self, key: str):
         with self.env.begin(write=False) as txn:
             byteflow = txn.get(key.encode())
+        if byteflow is None:
+            raise KeyError(f"feature key {key!r} not found in the LMDB")
         buf = io.BytesIO(byteflow)
         if self.ext == ".npy":
             return np.load(buf)

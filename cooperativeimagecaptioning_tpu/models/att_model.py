@@ -63,10 +63,26 @@ def encode_features(params, fc_feats, att_feats, att_masks, rng=None, train=Fals
     del fc_feats  # att2in2 never uses fc feats (identity fc_embed, unused by core)
     x = att_feats
     if "att_bn" in params:
-        mean = jnp.mean(x, axis=(0, 1), keepdims=True)
-        var = jnp.var(x, axis=(0, 1), keepdims=True)
+        # optional BatchNorm1d before the embed Linear (ref: AttModel.py:82-85)
+        bn = params["att_bn"]
+        if "mean" in bn:
+            # frozen running stats (torch-imported checkpoints): matches the
+            # reference's eval()-mode BN exactly, batch-independent
+            mean = bn["mean"]
+            var = bn["var"]
+        elif att_masks is not None:
+            # batch statistics over REAL positions only — the reference's
+            # pack_wrapper feeds BN the packed (unpadded) rows
+            w = att_masks[..., None]
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(x * w, axis=(0, 1), keepdims=True) / n
+            var = jnp.sum(jnp.square(x - mean) * w, axis=(0, 1),
+                          keepdims=True) / n
+        else:
+            mean = jnp.mean(x, axis=(0, 1), keepdims=True)
+            var = jnp.var(x, axis=(0, 1), keepdims=True)
         x = (x - mean) / jnp.sqrt(var + 1e-5)
-        x = x * params["att_bn"]["scale"] + params["att_bn"]["bias"]
+        x = x * bn["scale"] + bn["bias"]
     emb = jax.nn.relu(layers.linear(params["att_embed"], x))
     if train and drop_prob > 0.0:
         emb = layers.dropout(rng, emb, drop_prob, deterministic=False)

@@ -271,7 +271,7 @@ def sample(module, params, ctx, seq_length, rng, mode="greedy", temperature=1.0,
         return unfinished, it_masked, sample_lp, oh
 
     def body(carry, t):
-        state, lp, unfinished, prev_word, rng = carry
+        state, lp, unfinished, rng = carry
         rng, r_sel, r_emb, r_step = jax.random.split(rng, 4)
         it, sample_lp, relaxed = select_from(r_sel, lp)
         unfinished, it_masked, sample_lp, oh = emit(
@@ -293,10 +293,10 @@ def sample(module, params, ctx, seq_length, rng, mode="greedy", temperature=1.0,
                     jnp.arange(B), it_masked].set(NEG_INF)
                 logits = logits + penalty
             lp = jax.nn.log_softmax(logits, axis=-1)
-        return (state, lp, unfinished, it_masked, rng), (it_masked, sample_lp, oh)
+        return (state, lp, unfinished, rng), (it_masked, sample_lp, oh)
 
     unfinished0 = jnp.ones((B,), bool)
-    carry = (state, lp, unfinished0, jnp.zeros((B,), jnp.int32), rng)
+    carry = (state, lp, unfinished0, rng)
     if remat:
         # backward rematerializes each step (relaxed-sampling training at
         # very large batch: the per-step logits/relaxed residuals dominate)
@@ -313,7 +313,7 @@ def sample(module, params, ctx, seq_length, rng, mode="greedy", temperature=1.0,
         ohs = jnp.zeros((B, 0, vocab_plus2))
     # Final selection (reference iteration t == seq_length emits but skips using
     # the subsequent core step's logprobs).
-    state, lp, unfinished, prev_word, rng = carry
+    state, lp, unfinished, rng = carry
     rng, r_sel = jax.random.split(rng)
     it, sample_lp, relaxed = select_from(r_sel, lp)
     unfinished, it_masked, sample_lp, oh = emit(

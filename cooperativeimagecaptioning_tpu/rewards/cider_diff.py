@@ -51,12 +51,11 @@ def soft_cider_scores(res, refs, ref_mask, ref_len_log=None, eps=1e-20):
         tf = jnp.einsum("brij,brj->bri", eq_rr, vr)  # [B, R, Lr]
         tf_total = jnp.sum(vr, axis=-1)              # [B, R] = #gram positions
         # corpus df: count of batch items whose ref set contains the gram
-        flat_gr = gr.reshape(B, R * Lr)
-        flat_vr = vr.reshape(B, R * Lr)
-        eq = (gr[..., None, None] == flat_gr[None, None, None, ...])
-        contains = jnp.max(eq.astype(jnp.float32) *
-                           flat_vr[None, None, None, ...], axis=-1)  # [B,R,Lr,B]
-        df = jnp.sum(contains, axis=-1)              # [B, R, Lr]
+        # (shared dense-containment helper, rewards/ngram_device.py)
+        from cooperativeimagecaptioning_tpu.rewards.ngram_device import \
+            containment_df
+        df = containment_df(gr, gr.reshape(B, R * Lr),
+                            vr.reshape(B, R * Lr))   # [B, R, Lr]
         idf = ref_len_log - jnp.log(jnp.maximum(1.0, df))
 
         # expected frequency of each ref gram position's gram in the hypothesis:

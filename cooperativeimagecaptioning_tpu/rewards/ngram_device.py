@@ -120,6 +120,18 @@ def pad_gts(gts_list, max_refs=None, seq_length=None):
     return jnp.asarray(refs), jnp.asarray(mask)
 
 
+def containment_df(q_hash, flat_gr, flat_vr, expand=1.0):
+    """Dense corpus document frequency: df[q] = expand * #images whose ref set
+    contains gram q.  flat_gr/flat_vr are the per-image flattened gram hash
+    table [n_img, M] and its validity mask.  O(Q*n_img*M) compares — the VPU
+    eats these; beats sort+searchsorted on TPU up to B~1024 (see caller)."""
+    n_img, M = flat_gr.shape
+    eq = (q_hash[..., None, None] == flat_gr[None, ...]).astype(jnp.float32) \
+        * flat_vr[None, ...]
+    contains = jnp.max(eq.reshape(q_hash.shape + (n_img, M)), axis=-1)
+    return jnp.sum(contains, axis=-1) * expand
+
+
 def _eff_len(seq):
     """Length including the terminal 0 (or full length if none)."""
     L = seq.shape[-1]
@@ -208,17 +220,9 @@ def ciderd_rewards_device(gen, greedy, refs, ref_mask, seq_per_img=1,
             # B~1024 use the DfTable tier instead.
             flat_gr = gr.reshape(n_img, R * Lr)
             flat_vr = vr.reshape(n_img, R * Lr)
-
-            def df_of(q_hash):  # q_hash [..., M] -> df same shape
-                eq = (q_hash[..., None, None] ==
-                      flat_gr[None, ...]).astype(jnp.float32) \
-                    * flat_vr[None, ...]
-                contains = jnp.max(
-                    eq.reshape(q_hash.shape + (n_img, R * Lr)), axis=-1)
-                return jnp.sum(contains, axis=-1) * expand
-
-            df_h = df_of(gh)                        # [2B, L]
-            df_r = df_of(gr.reshape(n_img, R * Lr)).reshape(n_img, R, Lr)
+            df_h = containment_df(gh, flat_gr, flat_vr, expand)   # [2B, L]
+            df_r = containment_df(gr.reshape(n_img, R * Lr), flat_gr,
+                                  flat_vr, expand).reshape(n_img, R, Lr)
 
         idf_h = ref_len_log - jnp.log(jnp.maximum(1.0, df_h))
         idf_r = ref_len_log - jnp.log(jnp.maximum(1.0, df_r))

@@ -54,6 +54,16 @@ def convert_state_dict(sd, caption_model="att2in2", has_listener=True,
                        if f"{cg}att_embed.{i}.weight" in sd and
                        _np(sd[f"{cg}att_embed.{i}.weight"]).ndim == 2)
         speaker["att_embed"] = _linear(sd, f"{cg}att_embed.{lin_idx}")
+        bn_w = sd.get(f"{cg}att_embed.0.weight")
+        if bn_w is not None and _np(bn_w).ndim == 1:
+            # use_bn=1: BatchNorm1d precedes the Linear (AttModel.py:82-85);
+            # carry its affine + running stats (frozen-stat BN at decode)
+            speaker["att_bn"] = {
+                "scale": _np(bn_w).copy(),
+                "bias": _np(sd[f"{cg}att_embed.0.bias"]).copy(),
+                "mean": _np(sd[f"{cg}att_embed.0.running_mean"]).copy(),
+                "var": _np(sd[f"{cg}att_embed.0.running_var"]).copy(),
+            }
         speaker["ctx2att"] = _linear(sd, cg + "ctx2att")
         speaker["core"] = {
             "i2h": _linear(sd, cg + "core.i2h"),
@@ -129,7 +139,21 @@ def export_state_dict(params, caption_model="att2in2", wrapped=None):
         sd[cg + "embed.weight"] = torch.from_numpy(
             np.asarray(sp["embed"]).copy())
     else:
-        put(cg + "att_embed.0", sp["att_embed"])
+        if "att_bn" in sp:
+            import torch as _torch
+            bn = sp["att_bn"]
+            sd[cg + "att_embed.0.weight"] = _torch.from_numpy(
+                np.asarray(bn["scale"]).copy())
+            sd[cg + "att_embed.0.bias"] = _torch.from_numpy(
+                np.asarray(bn["bias"]).copy())
+            sd[cg + "att_embed.0.running_mean"] = _torch.from_numpy(
+                np.asarray(bn.get("mean", np.zeros_like(bn["scale"]))).copy())
+            sd[cg + "att_embed.0.running_var"] = _torch.from_numpy(
+                np.asarray(bn.get("var", np.ones_like(bn["scale"]))).copy())
+            sd[cg + "att_embed.0.num_batches_tracked"] = _torch.tensor(0)
+            put(cg + "att_embed.1", sp["att_embed"])
+        else:
+            put(cg + "att_embed.0", sp["att_embed"])
         put(cg + "ctx2att", sp["ctx2att"])
         for name in ("i2h", "h2h", "a2c"):
             put(cg + f"core.{name}", sp["core"][name])

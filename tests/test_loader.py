@@ -76,3 +76,49 @@ def test_flickr_image_key(tmp_path):
     ds = FileDataset(opt)
     assert ds.image_key(0) == "12345"
     assert ds.gt_caps_per_image == 5
+
+
+def test_prefetch_reset_iterator_no_skip():
+    """reset_iterator joins the in-flight prefetch worker BEFORE zeroing the
+    counter, so the next pass covers the split's head (regression: a racing
+    fetch re-advanced the freshly-reset iterator and evals silently skipped
+    the first images)."""
+    ld = make(prefetch=True)
+    val = list(ld.split_ix["val"])
+    for _ in range(20):  # interleave fetches and resets to provoke the race
+        ld.get_batch("val")
+        ld.reset_iterator("val")
+        seen = []
+        while True:
+            d = ld.get_batch("val")
+            seen += [i["ix"] for i in d["infos"]]
+            if d["bounds"]["wrapped"]:
+                break
+        assert sorted(set(seen[: len(val)])) == sorted(val)
+        ld.reset_iterator("val")
+    ld.close()
+
+
+def test_prefetch_propagates_fetch_errors():
+    """A failing fetch surfaces at get_batch() instead of killing the worker
+    silently and hanging the consumer."""
+    ld = make(prefetch=True)
+
+    def boom(split):
+        raise OSError("corrupt feature file")
+    ld._fetch_one = boom
+    try:
+        ld.get_batch("train")
+        assert False, "expected the fetch error to propagate"
+    except OSError as e:
+        assert "corrupt" in str(e)
+    ld.close()
+
+
+def test_prefetch_batch_size_change():
+    """get_batch(split, batch_size) with a new size must not serve stale
+    prefetched batches of the old size."""
+    ld = make(prefetch=True)
+    assert ld.get_batch("train", 4)["labels"].shape[0] == 4 * ld.seq_per_img
+    assert ld.get_batch("train", 2)["labels"].shape[0] == 2 * ld.seq_per_img
+    ld.close()

@@ -126,3 +126,53 @@ def test_export_roundtrip_all_trees():
         assert len(a) == len(b)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_convert_use_bn_checkpoint_decodes_identically():
+    """use_bn=1: the reference puts a BatchNorm1d before the embed Linear
+    (AttModel.py:82-85).  Converted checkpoints carry the BN affine + running
+    stats, and our frozen-stat decode bit-matches the reference's eval()-mode
+    greedy sample (batch-independent, unlike batch-stat normalization)."""
+    opt = small_opt(caption_model="att2in2")
+    opt.use_bn = 1
+    torch.manual_seed(41)
+    tm = REF["AttModel"].Att2in2Model(NS(opt)).eval()
+    with torch.no_grad():  # make the running stats non-trivial
+        bn = tm.att_embed[0]
+        bn.running_mean.uniform_(-0.5, 0.5)
+        bn.running_var.uniform_(0.5, 1.5)
+    sd = tm.state_dict()
+    params = jax.tree.map(
+        jnp.asarray, torch_interop.convert_state_dict(sd, "att2in2",
+                                                      has_listener=False))
+    assert "att_bn" in params["speaker"]
+    assert "mean" in params["speaker"]["att_bn"]
+
+    rng = np.random.RandomState(42)
+    B, K = 4, 6
+    fc = rng.randn(B, opt.fc_feat_size).astype(np.float32)
+    att = rng.randn(B, K, opt.att_feat_size).astype(np.float32)
+    # the reference BN requires the packed path (att_masks present): on
+    # unmasked [B, K, F] input BatchNorm1d reads K as the channel dim and
+    # errors — use_bn is only reachable with variable-K masks upstream
+    masks = np.zeros((B, K), np.float32)
+    masks[:, 0] = 1
+    for i in range(B):
+        masks[i, : rng.randint(2, K + 1)] = 1
+    with torch.no_grad():
+        t_seq, _ = tm.sample(torch.from_numpy(fc), torch.from_numpy(att),
+                             torch.from_numpy(masks),
+                             {"sample_max": 1, "beam_size": 1})
+    ctx = att_model.encode_features(params["speaker"], jnp.asarray(fc),
+                                    jnp.asarray(att), jnp.asarray(masks))
+    out = decoding.sample(att_model, params["speaker"], ctx, opt.seq_length,
+                          jax.random.PRNGKey(0), mode="greedy")
+    T = t_seq.shape[1]
+    np.testing.assert_array_equal(np.asarray(out.seq)[:, :T], t_seq.numpy())
+
+    # and the export direction round-trips the BN block strict into torch
+    sd2 = torch_interop.export_state_dict(
+        {"speaker": params["speaker"]}, "att2in2", wrapped=False)
+    tm2 = REF["AttModel"].Att2in2Model(NS(opt)).eval()
+    missing, unexpected = tm2.load_state_dict(sd2, strict=False)
+    assert not unexpected and not missing, (missing, unexpected)
