@@ -201,14 +201,12 @@ class Evaluator:
                 lang_stats = {
                     s: language_eval.language_eval(
                         opt.dataset, predictions, opt.id, s,
-                        getattr(opt, "checkpoint_path", None),
                         ann_file=ann_file, loader=loader)
                     for s in ("val", "test")}
             else:
                 lang_stats = language_eval.language_eval(
                     opt.dataset, predictions, opt.id, split,
-                    getattr(opt, "checkpoint_path", None), ann_file=ann_file,
-                    loader=loader)
+                    ann_file=ann_file, loader=loader)
 
         out_losses = {k: float(v) / loss_evals for k, v in losses_acc.items()}
         if rank_eval:
@@ -228,13 +226,24 @@ class Evaluator:
                                                        use_gen_sent=False)
         return out_losses, predictions, lang_stats
 
+    def _sample_for_reward_fn(self):
+        if "sample_reward" not in self._decode_fns:
+            opt, spk = self.opt, self.speaker
+
+            def run(params, batch, hp):
+                return joint.sample_for_reward(
+                    {"speaker": spk}, params, opt, batch,
+                    jax.random.PRNGKey(123), hp, "optimizer", train=False)
+            self._decode_fns["sample_reward"] = jax.jit(run)
+        return self._decode_fns["sample_reward"]
+
     def _reward_for(self, params, batch, data):
         """Host CIDEr-D reward for the eval loss (ref computes full loss at eval)."""
         from cooperativeimagecaptioning_tpu.rewards import self_critical
         hp = joint.Hyper.from_opt(self.opt)
-        gen, greedy = joint.sample_for_reward(
-            {"speaker": self.speaker}, params, self.opt, batch,
-            jax.random.PRNGKey(123), hp, "optimizer", train=False)
+        # jitted (the trainer jits the identical function): eager dispatch of
+        # two autoregressive decodes per eval batch was many times slower
+        gen, greedy = self._sample_for_reward_fn()(params, batch, hp)
         if self.opt.use_gen_cider_scores:
             cg, _, _ = self_critical.get_self_critical_reward(
                 data["gts"], np.asarray(gen), np.asarray(greedy),

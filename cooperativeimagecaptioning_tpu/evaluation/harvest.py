@@ -196,7 +196,7 @@ def _count_iter_models(run_dir):
     return sum(1 for f in os.listdir(run_dir) if _is_iter_model(f))
 
 
-def run_needs_update(run_dir, force_new_dict=False, min_models_in_dir=1):
+def run_needs_update(run_dir, force_new_dict=False, min_models_in_dir=5):
     """val_dict.pkl caching (ref model_doesnt_need_update :85-94): a run whose
     dict exists and whose per-iteration checkpoint count hasn't grown past
     min_models_in_dir is up to date."""
@@ -239,7 +239,7 @@ def _opt_from_infos(run_dir):
     return infos.get("opt")
 
 
-def harvest_runs(parent, force_new_dict=False, min_models_in_dir=1,
+def harvest_runs(parent, force_new_dict=False, min_models_in_dir=5,
                  blacklist=(), skip_substrings=(), test_eval=False,
                  json_dir=None, dataset=None):
     """Harvest every run under `parent` (ref main :493-535).  Returns
@@ -272,7 +272,7 @@ def main(argv=None):
                     help="a run dir, or a parent dir of run dirs")
     ap.add_argument("--force_new_dict", type=int, default=0,
                     help="rebuild val_dict.pkl even if cached")
-    ap.add_argument("--min_models_in_dir", type=int, default=1,
+    ap.add_argument("--min_models_in_dir", type=int, default=5,
                     help="cache threshold: more per-iter checkpoints than "
                          "this forces a refresh")
     ap.add_argument("--test_eval", type=int, default=0,

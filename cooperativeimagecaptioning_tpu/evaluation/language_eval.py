@@ -30,9 +30,8 @@ def annotations_from_loader(loader):
     return CocoAnnotations(dataset={"annotations": anns, "images": images})
 
 
-def language_eval(dataset, preds, model_id, split, ckpt_path=None,
-                  ann_file=None, loader=None, out_dir="eval_results",
-                  include_spice=False):
+def language_eval(dataset, preds, model_id, split, ann_file=None,
+                  loader=None, out_dir="eval_results", include_spice=False):
     """ref: eval_utils.py:19-86."""
     if ann_file and os.path.isfile(ann_file):
         coco = CocoAnnotations(ann_file)

@@ -59,6 +59,9 @@ def compute_bleu(gts: dict, res: dict, n: int = 4):
               "guess": [0] * n, "correct": [0] * n}
     per_image = [[] for _ in range(n)]
     ids = sorted(res.keys(), key=lambda x: str(x))
+    # always 'closest': coco-caption's Bleu wrapper forces option='closest'
+    # (bleu.py:41), so the scorer's 1-image 'average' default never fires in
+    # the pipeline the reference runs
     for iid in ids:
         reflen, maxcounts = _cook_refs(gts[iid], n)
         comps = _cook_test(res[iid][0], reflen, maxcounts, n)

@@ -119,12 +119,27 @@ def porter_stem(word: str) -> str:
     return lib.cic_porter_stem(word.encode("utf-8")).decode("utf-8")
 
 
+_scratch = threading.local()
+
+
+def _scratch_buf(max_elems):
+    """Per-thread reusable scratch for the native readers (a fresh 64MB
+    np.empty per feature file churned allocations on the loader hot path;
+    thread-local because the train and val prefetch workers read
+    concurrently).  The readers copy out of it before returning."""
+    import numpy as np
+    buf = getattr(_scratch, "buf", None)
+    if buf is None or buf.size < max_elems:
+        buf = _scratch.buf = np.empty(max_elems, np.float32)
+    return buf
+
+
 def read_npy(path: str, max_elems: int = 1 << 24):
     """Native npy reader (f32, C-order).  Returns ndarray or None on
     unsupported input (caller falls back to np.load)."""
     import numpy as np
     lib = _load()
-    buf = np.empty(max_elems, np.float32)
+    buf = _scratch_buf(max_elems)
     shape = np.zeros(8, np.int64)
     ndim = lib.cic_read_npy(
         path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -152,7 +167,7 @@ def read_npz_feat(path: str, max_elems: int = 1 << 24):
     """Native npz['feat'] reader (stored or deflated member)."""
     import numpy as np
     lib = _load()
-    buf = np.empty(max_elems, np.float32)
+    buf = _scratch_buf(max_elems)
     shape = np.zeros(8, np.int64)
     ndim = lib.cic_read_npz_feat(
         path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

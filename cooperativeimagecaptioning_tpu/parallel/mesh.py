@@ -62,7 +62,7 @@ def _speaker_rules(path):
         if names[-1] == "w":
             return P(None, "model")   # [H, V+1] vocab-sharded
         return P("model")             # bias [V+1]
-    if names[-1] == "embed" or "embed" in names[-1:]:
+    if names[-1] == "embed":
         return P("model", None)       # [V+2, D] vocab-sharded rows
     return P()
 

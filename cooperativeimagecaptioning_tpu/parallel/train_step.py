@@ -53,18 +53,21 @@ def make_distributed_train_step(opt, turn, mesh, donate=True):
                 lambda p, u: p + u, params[agent], updates)
         return new_params, new_states, loss, aux
 
-    batch_sharding = {
-        "fc_feats": NamedSharding(mesh, P("data")),
-        "att_feats": NamedSharding(mesh, P("data")),
-        "att_masks": NamedSharding(mesh, P("data")),
-        "labels": NamedSharding(mesh, P("data")),
-        "masks": NamedSharding(mesh, P("data")),
-    }
     repl = NamedSharding(mesh, P())
     step_jit = jax.jit(
         step,
-        in_shardings=(repl, repl, batch_sharding, repl, repl,
+        # the batch entry is None: its sharding follows the committed arrays,
+        # so ANY batch structure works — including the reward-ref keys
+        # ('refs', 'ref_mask', 'df_table') that on_device_cider/soft_cider
+        # need (a fixed 5-key sharding dict rejected them before)
+        in_shardings=(repl, repl, None, repl, repl,
                       NamedSharding(mesh, P("data"))),
         out_shardings=(repl, repl, repl, repl),
         donate_argnums=(0, 1) if donate else ())
-    return init_opt_states, step_jit
+
+    def step_fn(params, opt_states, batch, rng, hp, reward):
+        from cooperativeimagecaptioning_tpu.parallel.mesh import shard_batch
+        return step_jit(params, opt_states, shard_batch(batch, mesh),
+                        rng, hp, reward)
+
+    return init_opt_states, step_fn

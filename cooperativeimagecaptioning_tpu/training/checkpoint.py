@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import pickle
 
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -200,6 +201,39 @@ class CheckpointManager:
             with open(os.path.join(self.opt.checkpoint_path,
                                    "optimizer.pth"), "wb") as f:
                 pickle.dump(st, f)
+
+    def load_optimizers(self, optim_manager):
+        """Restore per-agent Adam states saved by save_optimizers (the
+        reference's load_optimizer, optimizer.py:149-188).  Lenient: agents
+        without a saved file keep their fresh state."""
+        sf = self.opt.start_from
+        if not sf:
+            return False
+        restored = False
+        states = optim_manager.state_dict()
+        for agent in list(states):
+            cands = [f"{agent}_optimizer.pth"]
+            if not self.opt.is_alternating:
+                cands.append("optimizer.pth")
+            for name in cands:
+                path = os.path.join(sf, name)
+                if os.path.isfile(path):
+                    with open(path, "rb") as f:
+                        st = pickle.load(f)
+                    try:
+                        chex.assert_trees_all_equal_shapes(
+                            _to_numpy(states[agent]), st)
+                    except (AssertionError, ValueError):
+                        print(f"optimizer state for {agent} in {name} has a "
+                              "different structure; keeping fresh state")
+                        break
+                    states = dict(states)
+                    states[agent] = _to_jax(st)
+                    restored = True
+                    break
+        if restored:
+            optim_manager.load_state_dict(states)
+        return restored
 
     def save_infos(self, infos, iteration):
         args = (self.opt.checkpoint_path, self.opt.id)

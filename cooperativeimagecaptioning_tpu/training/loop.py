@@ -85,6 +85,10 @@ class Trainer:
         self.params = params
 
         self.optim = OptimizerManager(opt, params)
+        if resumed:
+            # restore per-agent Adam moments/steps alongside the params
+            # (ref optimizer.py:149-188; was silently re-initializing)
+            self.ckpt.load_optimizers(self.optim)
         self.turns = effective_turns(opt)
 
         # resume counters (ref: train.py:360-375)
@@ -259,10 +263,14 @@ class Trainer:
             from cooperativeimagecaptioning_tpu.training import audit
             from cooperativeimagecaptioning_tpu.training.optim import \
                 agents_to_update
-            audit.audit_update(
-                prev_params, self.params,
-                tuple(a for a in agents_to_update(opt, turn)
-                      if a in self.params))
+            # a step the non-finite guard rejected legitimately leaves every
+            # agent unchanged — auditing it would raise a false UpdateError
+            # (the audit already host-syncs, so reading the flag is free here)
+            if bool(self.optim.last_step_ok):
+                audit.audit_update(
+                    prev_params, self.params,
+                    tuple(a for a in agents_to_update(opt, turn)
+                          if a in self.params))
 
         loss_dict = dict(aux)  # device scalars; converted lazily by loggers
         loss_dict.update(aux_host)

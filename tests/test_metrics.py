@@ -139,3 +139,18 @@ def test_meteor_empty_hypothesis_counts_denominators():
         _, st = meteor.sentence_stats(res_empty[i][0], gts[i])
         total += np.asarray(st)
     assert abs(meteor._score_from_stats(total) - part) < 1e-12
+
+
+def test_bleu_single_image_stays_closest():
+    """coco-caption's Bleu wrapper forces option='closest' (bleu.py:41), so
+    the scorer's 1-image 'average' default never fires — parity on a 1-image
+    corpus must hold with 'closest'."""
+    ref_bleu = _ref_module("bleu", "bleu")
+    gts = {0: ["a red bike parked by the old wall today",
+               "the bike leans on a wall"]}
+    res = {0: ["a bike leans on the wall now then"]}  # len between the refs
+    want, want_per = ref_bleu.Bleu(4).compute_score(gts, res)
+    got, got_per = bleu.compute_bleu(gts, res)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+    for k in range(4):
+        np.testing.assert_allclose(got_per[k], want_per[k], rtol=1e-8)

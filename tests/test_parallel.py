@@ -85,3 +85,37 @@ def test_distributed_step_runs_and_matches_replicated():
                 not np.array_equal(np.asarray(a), np.asarray(b))
                 for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(new_p)))
             assert moved
+
+
+@pytest.mark.slow
+def test_distributed_step_on_device_cider_refs():
+    """The distributed step must accept the reward-ref batch keys
+    ('refs'/'ref_mask') and produce a NONZERO CIDEr loss term (regression:
+    a fixed 5-key in_shardings dict rejected them, silently zeroing the RL
+    term on the multi-chip path)."""
+    assert len(jax.devices()) >= 8
+    opt = make_opt(cider_optimization=0.9, on_device_cider=1)
+    params = joint.init_params(jax.random.PRNGKey(0), opt)
+    batch = make_batch(opt)
+    from cooperativeimagecaptioning_tpu.rewards import ngram_device
+    gts = [np.asarray(batch["labels"])[i:i + 1, 1:-1].astype(np.int32)
+           for i in range(opt.batch_size)]
+    batch = dict(batch)
+    batch["refs"], batch["ref_mask"] = ngram_device.pad_gts(
+        gts, seq_length=opt.seq_length)
+    hp = joint.Hyper.from_opt(opt)
+    rng = jax.random.PRNGKey(1)
+    reward = jnp.zeros((opt.batch_size,))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    with mesh:
+        p = replicate(params, mesh)
+        init_states, step = make_distributed_train_step(
+            opt, "speaker", mesh, donate=False)
+        states = replicate(init_states(p), mesh)
+        new_p, new_s, loss, aux = step(
+            p, states, batch, replicate(rng, mesh), replicate(hp, mesh),
+            jax.device_put(reward, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data"))))
+        assert np.isfinite(float(loss))
+        assert "loss_cider" in aux and float(aux["loss_cider"]) != 0.0

@@ -182,6 +182,14 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     assert tr2.iteration == it_saved
     assert all(not c for c in leaves_changed(p_saved, tr2.params))
 
+    # Adam moments and step counts resume too (ref optimizer.py:149-188;
+    # regression: they silently re-initialized, so the first post-resume
+    # steps took fresh bias-corrected jumps)
+    for agent, st in tr.optim.state_dict().items():
+        st2 = tr2.optim.state_dict()[agent]
+        for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 @pytest.mark.slow
 def test_seq_per_img_replication():
@@ -321,3 +329,24 @@ def test_nonfinite_guard_counts_skipped_steps():
     assert om.skipped_steps() == 1
     assert any(not np.array_equal(np.asarray(a), np.asarray(b))
                for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)))
+
+
+def test_audit_tolerates_guard_skipped_step():
+    """--audit_grad_isolation must not raise UpdateError for a step the
+    non-finite guard rejected (params legitimately unchanged)."""
+    opt = tiny_opt(phase=3, is_alternating=1,
+                   alternating_turn=["speaker", "listener"],
+                   retrieval_reward="gumbel", retrieval_reward_weight=0.1,
+                   cider_optimization=0.9, caption_loss_weight=1,
+                   vse_loss_weight=0.1, on_device_cider=1,
+                   audit_grad_isolation=1)
+    ds = tiny_dataset(opt)
+    tr = Trainer(opt, dataset=ds, verbose=False)
+    data = tr.loader.get_batch("train")
+    data["fc_feats"] = np.full_like(data["fc_feats"], np.nan)
+    data["att_feats"] = np.full_like(data["att_feats"], np.nan)
+    ld, _, _ = tr.train_iteration(data=data)  # NaN grads -> guard skips
+    assert tr.optim.skipped_steps() == 1
+    ld, _, _ = tr.train_iteration()  # healthy step passes the audit
+    assert np.isfinite(float(ld["loss"]))
+    tr.close()
