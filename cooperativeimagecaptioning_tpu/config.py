@@ -185,6 +185,8 @@ class Options(argparse.Namespace):
     def replace(self, **overrides) -> "Options":
         new = copy.deepcopy(self)
         for k, v in overrides.items():
+            if not hasattr(new, k):  # same strictness as __init__
+                raise AttributeError(f"unknown option {k!r}")
             setattr(new, k, v)
         return new
 

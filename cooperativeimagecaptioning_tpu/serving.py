@@ -44,6 +44,7 @@ class CaptioningService:
         self.beam_size = int(beam_size or 0)
         self.buckets = tuple(sorted(buckets))
         self.max_att_len = max_att_len or getattr(opt, "max_att_len", 0) or 36
+        self._warned_trunc = False
         self.speaker = model_zoo.setup(opt, opt.caption_model,
                                        "caption_model")
         self._dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else \
@@ -152,6 +153,16 @@ class CaptioningService:
     def caption_ids(self, fc_feats, att_feats=None, att_masks=None):
         """[n, ...] features -> [n, seq_length] decoded ids (0-padded)."""
         n = int(np.asarray(fc_feats).shape[0])
+        if n == 0:
+            return np.zeros((0, self.opt.seq_length), np.int32)
+        if att_feats is not None and \
+                np.asarray(att_feats).shape[1] > self.max_att_len and \
+                not self._warned_trunc:
+            self._warned_trunc = True
+            print(f"warning: truncating attention features "
+                  f"{np.asarray(att_feats).shape[1]} -> {self.max_att_len} "
+                  f"regions; construct the service with max_att_len= to keep "
+                  f"them all")
         b = self._bucket_for(n)
 
         def pad0(x, to):

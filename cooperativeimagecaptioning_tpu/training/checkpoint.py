@@ -235,6 +235,25 @@ class CheckpointManager:
             optim_manager.load_state_dict(states)
         return restored
 
+    def load_agent_optimizer(self, optim_manager, agent, path):
+        """Seed ONE agent's Adam state from a saved optimizer .pth — the
+        reference's cross-stage wiring (--speaker_stage_2_optimizer_path,
+        optimizer.py:49-96).  Lenient on structure mismatch."""
+        if not os.path.isfile(path):
+            return False
+        with open(path, "rb") as f:
+            st = pickle.load(f)
+        states = dict(optim_manager.state_dict())
+        try:
+            chex.assert_trees_all_equal_shapes(_to_numpy(states[agent]), st)
+        except (AssertionError, ValueError, KeyError):
+            print(f"stage-2 optimizer state at {path} does not match the "
+                  f"{agent} params; keeping fresh state")
+            return False
+        states[agent] = _to_jax(st)
+        optim_manager.load_state_dict(states)
+        return True
+
     def save_infos(self, infos, iteration):
         args = (self.opt.checkpoint_path, self.opt.id)
         save_pkl(*args, "infos", infos)

@@ -89,6 +89,12 @@ class Trainer:
             # restore per-agent Adam moments/steps alongside the params
             # (ref optimizer.py:149-188; was silently re-initializing)
             self.ckpt.load_optimizers(self.optim)
+        else:
+            # cross-stage seeding: a fresh joint run carries the stage-2
+            # speaker's Adam state (ref optimizer.py:49-96)
+            p2 = getattr(opt, "speaker_stage_2_optimizer_path", "")
+            if p2:
+                self.ckpt.load_agent_optimizer(self.optim, "speaker", p2)
         self.turns = effective_turns(opt)
 
         # resume counters (ref: train.py:360-375)

@@ -50,10 +50,13 @@ def eval(opt, model_name, infos_name, ann_file=None, listener=None,
                                opt)
     params = ck.load_params_into(params, model_name)
     if listener == "gt" and getattr(opt, "initialize_retrieval", None):
-        print("gt listener is loaded for evaluation")
         gt = ck.load_params(opt.initialize_retrieval)
         if "listener" in gt:
             params["listener"] = gt["listener"]
+            print("gt listener is loaded for evaluation")
+        else:
+            print(f"warning: {opt.initialize_retrieval} has no 'listener' "
+                  "subtree; evaluating with the TRAINED listener")
 
     ev = Evaluator(opt)
     eval_kwargs = dict(vars(opt))

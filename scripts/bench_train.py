@@ -64,18 +64,21 @@ def run(batch=128, iters=10, mode="mle"):
             ngram_device.pad_gts(gts, seq_length=L)
     reward = jnp.zeros((B,), jnp.float32)
 
-    def one(i):
+    def one(i, p):
+        # thread the UPDATED params through: step i+1 must depend on step i
+        # (grads on stale params would let the device overlap iterations and
+        # overstate serialized training throughput)
         key = jax.random.PRNGKey(i)
-        (loss, aux), grads = grad_fn(params, batch_arrays, key, hp, reward)
-        return optim.step(params, grads, turn), loss
+        (loss, aux), grads = grad_fn(p, batch_arrays, key, hp, reward)
+        return optim.step(p, grads, turn), loss
 
     t0 = time.time()
-    p, loss = one(0)
+    p, loss = one(0, params)
     np.asarray(loss)
     compile_s = time.time() - t0
     t0 = time.perf_counter()
     for i in range(iters):
-        p, loss = one(i + 1)
+        p, loss = one(i + 1, p)
     np.asarray(loss)
     dt = time.perf_counter() - t0
     print(f"{mode} B={batch}: {iters / dt:.2f} it/s = "

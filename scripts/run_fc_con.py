@@ -37,8 +37,10 @@ def main(argv=None):
         checkpoint_path=ckpt, start_from=ckpt if os.listdir(ckpt) else None,
         input_json=args.input_json, input_label_h5=args.input_label_h5,
         input_fc_dir=args.input_fc_dir, input_att_dir=args.input_att_dir,
-        dataset=args.dataset, seq_per_img=5, learning_rate=2e-4,
-        save_checkpoint_every=2500, val_images_use=5000)
+        dataset=args.dataset, seq_per_img=5, learning_rate=5e-4,
+        learning_rate_decay_start=0, learning_rate_decay_every=15,
+        scheduled_sampling_start=0,
+        save_checkpoint_every=3000, val_images_use=5000)
     train(opt)
 
 

@@ -30,7 +30,7 @@ def build_run(args):
     ov = dict(retrieval_reward_weight=d, cider_optimization=cider,
               learning_rate=args.lr, learning_rate_decay_rate=args.decay,
               learning_rate_decay_every=args.every, batch_size=args.batch,
-              caption_loss_weight=args.caption or 1,
+              caption_loss_weight=args.caption,
               vse_loss_weight=args.vse, share_embed=args.shared_embedding,
               max_epochs=args.max_epochs, is_alternating=1,
               alternating_turn=["speaker", "listener"], retrieval_reward=o)
@@ -89,11 +89,17 @@ def seed_checkpoint_dir(ckpt_path, speaker_model_path, run_id):
         dst = os.path.join(ckpt_path, "alternatingModel.pth")
         if not os.path.isfile(dst):
             shutil.copy(speaker_model_path, dst)
-        src_infos = os.path.join(os.path.dirname(speaker_model_path),
-                                 "infos_att.pkl")
+        src_dir = os.path.dirname(speaker_model_path)
+        src_infos = os.path.join(src_dir, "infos_att.pkl")
         dst_infos = os.path.join(ckpt_path, f"infos_{run_id}.pkl")
         if os.path.isfile(src_infos) and not os.path.isfile(dst_infos):
             shutil.copy(src_infos, dst_infos)
+        # copy_model.sh copies the WHOLE stage-2 dir — carry the speaker's
+        # Adam state too, so joint training doesn't warm-start from zero
+        src_opt = os.path.join(src_dir, "optimizer.pth")
+        dst_opt = os.path.join(ckpt_path, "speaker_optimizer.pth")
+        if os.path.isfile(src_opt) and not os.path.isfile(dst_opt):
+            shutil.copy(src_opt, dst_opt)
 
 
 def main(argv=None):
@@ -141,7 +147,11 @@ def main(argv=None):
         dataset=args.dataset, save_checkpoint_every=3000,
         val_images_use=val_images, language_eval=1, rank_eval=1,
         rank_on_gen_captions=True, seq_per_img=1, learning_rate_decay_start=0,
+        scheduled_sampling_start=0,
         speaker_stage_2_model_path=args.speaker_stage_2_model,
+        speaker_stage_2_optimizer_path=(os.path.join(
+            os.path.dirname(args.speaker_stage_2_model), "optimizer.pth")
+            if args.speaker_stage_2_model else ""),
         listener_stage_1_model_path=args.listener_stage_1_model,
         initialize_retrieval=args.listener_stage_1_model or None,
         **ov)

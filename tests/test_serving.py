@@ -224,3 +224,13 @@ def test_http_endpoint(run_dir):
             assert e.code == 400 and "error" in json.loads(e.read())
     finally:
         srv.shutdown()
+
+
+def test_service_empty_request(run_dir):
+    ckpt, opt, _ = run_dir
+    svc = CaptioningService.from_run_dir(ckpt, buckets=(4,),
+                                         compute_dtype="float32",
+                                         max_att_len=6)
+    out = svc.caption_ids(np.zeros((0, opt.fc_feat_size), np.float32))
+    assert out.shape == (0, opt.seq_length)
+    assert svc.caption(np.zeros((0, opt.fc_feat_size), np.float32)) == []

@@ -350,3 +350,42 @@ def test_audit_tolerates_guard_skipped_step():
     ld, _, _ = tr.train_iteration()  # healthy step passes the audit
     assert np.isfinite(float(ld["loss"]))
     tr.close()
+
+
+def test_stage2_optimizer_seeds_joint_run(tmp_path):
+    """A fresh joint run carries the stage-2 speaker's Adam state
+    (ref optimizer.py:49-96 / copy_model.sh whole-dir copy)."""
+    from cooperativeimagecaptioning_tpu.training import checkpoint as ck
+    opt2 = tiny_opt(phase=2, caption_loss_weight=1, vse_loss_weight=0,
+                    checkpoint_path=str(tmp_path / "att"))
+    import os
+    os.makedirs(opt2.checkpoint_path)
+    ds = tiny_dataset(opt2)
+    tr2 = Trainer(opt2, dataset=ds, verbose=False)
+    for _ in range(2):
+        tr2.train_iteration()
+    tr2.ckpt.save_optimizers(tr2.optim)  # writes optimizer.pth (phase 2)
+    tr2.ckpt.save_model(tr2.params)
+
+    jopt = tiny_opt(phase=3, is_alternating=1,
+                    alternating_turn=["speaker", "listener"],
+                    retrieval_reward="gumbel", retrieval_reward_weight=0.1,
+                    cider_optimization=0, caption_loss_weight=1,
+                    vse_loss_weight=0.1,
+                    checkpoint_path=str(tmp_path / "joint"),
+                    speaker_stage_2_optimizer_path=os.path.join(
+                        opt2.checkpoint_path, "optimizer.pth"))
+    os.makedirs(jopt.checkpoint_path)
+    trj = Trainer(jopt, dataset=ds, verbose=False)
+    want = jax.tree.leaves(tr2.optim.state_dict()["speaker"])
+    got = jax.tree.leaves(trj.optim.state_dict()["speaker"])
+    matched = sum(np.array_equal(np.asarray(a), np.asarray(b))
+                  for a, b in zip(want, got))
+    assert matched == len(want)  # Adam moments + step count carried over
+
+
+def test_options_replace_rejects_unknown():
+    opt = tiny_opt()
+    with pytest.raises(AttributeError):
+        opt.replace(learning_rte=1e-4)
+    assert opt.replace(learning_rate=1e-4).learning_rate == 1e-4
