@@ -16,52 +16,48 @@ import numpy as np
 import jax.numpy as jnp
 
 from cooperativeimagecaptioning_tpu.ops import losses
+from cooperativeimagecaptioning_tpu.evaluation.retrieval import (
+    recall_stats, target_ranks, top_retrieved)
 
 
 def gen2gt(cap_embs_generated, cap_embs_gt, caps_per_image=5,
            return_ranks=False):
-    """ref: eval_utils.py:953-998."""
+    """Generated caption -> GT caption pool: each of the N generated captions
+    queries all cpi*N GT captions; its rank is the best rank among its own
+    image's cpi GT captions (ref: eval_utils.py:953-998).  Ranks come from the
+    vectorized counting core in `retrieval` — no per-query loops."""
     cpi = caps_per_image
-    npts = cap_embs_generated.shape[0]
-    ranks = np.zeros(npts)
-    top1 = np.zeros(npts)
-    for index in range(npts):
-        d = (cap_embs_generated[index][None, :] @ cap_embs_gt.T).flatten()
-        inds = np.argsort(d)[::-1]
-        rank = 1e20
-        for i in range(cpi * index, cpi * index + cpi):
-            rank = min(rank, np.where(inds == i)[0][0])
-        ranks[index] = rank
-        top1[index] = inds[0]
-    return _stats(ranks, top1, return_ranks)
+    gen = np.asarray(cap_embs_generated)
+    gt = np.asarray(cap_embs_gt)
+    n_img = gen.shape[0]
+    scores = gen @ gt.T                                  # [N, cpi*N]
+    own = np.arange(n_img)[:, None] * cpi + np.arange(cpi)[None, :]
+    ranks = target_ranks(scores, own).min(axis=1).astype(np.float64)
+    top1 = top_retrieved(scores, 1)[:, 0].astype(np.float64)
+    stats = recall_stats(ranks)
+    if return_ranks:
+        return stats, (ranks, top1)
+    return stats
 
 
 def gt2gen(cap_embs_generated, cap_embs_gt, caps_per_image=5,
            return_ranks=False):
-    """ref: eval_utils.py:1001-1041."""
+    """GT caption -> generated caption pool: each of the cpi*N GT captions
+    queries the N generated captions; its rank is that of its own image's
+    generated caption (ref: eval_utils.py:1001-1041)."""
     cpi = caps_per_image
-    npts = cap_embs_generated.shape[0]
-    ranks = np.zeros(cpi * npts)
-    top1 = np.zeros(cpi * npts)
-    for index in range(npts):
-        queries = cap_embs_gt[cpi * index: cpi * index + cpi]
-        d = queries @ cap_embs_generated.T
-        for i in range(len(d)):
-            inds = np.argsort(d[i])[::-1]
-            ranks[cpi * index + i] = np.where(inds == index)[0][0]
-            top1[cpi * index + i] = inds[0]
-    return _stats(ranks, top1, return_ranks)
-
-
-def _stats(ranks, top1, return_ranks):
-    r1 = 100.0 * len(np.where(ranks < 1)[0]) / len(ranks)
-    r5 = 100.0 * len(np.where(ranks < 5)[0]) / len(ranks)
-    r10 = 100.0 * len(np.where(ranks < 10)[0]) / len(ranks)
-    medr = np.floor(np.median(ranks)) + 1
-    meanr = ranks.mean() + 1
+    gen = np.asarray(cap_embs_generated)
+    gt = np.asarray(cap_embs_gt)
+    n_img = gen.shape[0]
+    queries = gt[: cpi * n_img]
+    scores = queries @ gen.T                             # [cpi*N, N]
+    correct = np.repeat(np.arange(n_img), cpi)[:, None]
+    ranks = target_ranks(scores, correct)[:, 0].astype(np.float64)
+    top1 = top_retrieved(scores, 1)[:, 0].astype(np.float64)
+    stats = recall_stats(ranks)
     if return_ranks:
-        return (r1, r5, r10, medr, meanr), (ranks, top1)
-    return (r1, r5, r10, medr, meanr)
+        return stats, (ranks, top1)
+    return stats
 
 
 def split_halves(seqs, masks, batch_lens):

@@ -30,6 +30,11 @@ class Evaluator:
     def __init__(self, opt, mesh=None):
         self.opt = opt
         self.mesh = mesh
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # vocab matrices are model-sharded: route greedy/beam heads
+            # through their shard_map variants (ops/pallas/_dispatch.py)
+            from cooperativeimagecaptioning_tpu.ops.pallas import _dispatch
+            _dispatch.set_vocab_mesh(mesh)
         self.speaker = model_zoo.setup(opt, opt.caption_model, "caption_model")
         self._decode_fns = {}
         self._loss_fn = None

@@ -25,6 +25,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cooperativeimagecaptioning_tpu.ops.pallas._dispatch import (
+    kernel_fallback, on_tpu)
+
 
 def attention_reference(h, att_emb, p_att, w_h2att, b_h2att, w_alpha, b_alpha,
                         masks):
@@ -119,9 +122,11 @@ def _pick_block_b(B, K, H, A, cap):
     return max(bb, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "use_mask"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_b", "use_mask", "interpret"))
 def _attention_pallas(h, att_emb, p_att, w_h2att, b_h2att, w_alpha, b_alpha,
-                      masks, use_mask: bool, block_b: int = 64):
+                      masks, use_mask: bool, block_b: int = 64,
+                      interpret: bool = False):
     B, K, H = att_emb.shape
     A = p_att.shape[2]
     bb = _pick_block_b(B, K, H, A, block_b)
@@ -148,6 +153,7 @@ def _attention_pallas(h, att_emb, p_att, w_h2att, b_h2att, w_alpha, b_alpha,
         out_specs=pl.BlockSpec((bb, H), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H), h.dtype),
+        interpret=interpret,
     )(*args)
 
 
@@ -178,10 +184,11 @@ def _make_kernel_q(use_mask: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "use_mask"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_b", "use_mask", "interpret"))
 def _attention_pallas_q(h, emb_q, emb_scale, p_q, p_scale, w_h2att, b_h2att,
                         w_alpha, b_alpha, masks, use_mask: bool,
-                        block_b: int = 64):
+                        block_b: int = 64, interpret: bool = False):
     B, K, H = emb_q.shape
     A = p_q.shape[2]
     bb = _pick_block_b(B, K, H, A, block_b)
@@ -210,6 +217,7 @@ def _attention_pallas_q(h, emb_q, emb_scale, p_q, p_scale, w_h2att, b_h2att,
         out_specs=pl.BlockSpec((bb, H), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H), h.dtype),
+        interpret=interpret,
     )(*args)
 
 
@@ -222,13 +230,13 @@ def fused_attention_q(h, emb_q, emb_scale, p_q, p_scale, w_h2att, b_h2att,
     gradients (only meaningful for h and the weights) flow through the
     dequantized reference math.
     """
-    if jax.devices()[0].platform in ("tpu", "axon"):
+    if on_tpu():
         try:
             return _attention_pallas_q(h, emb_q, emb_scale, p_q, p_scale,
                                        w_h2att, b_h2att, w_alpha, b_alpha,
                                        masks, use_mask=masks is not None)
-        except Exception:
-            pass
+        except Exception as err:
+            kernel_fallback("fused_attention_q", err)
     return attention_reference_q(h, emb_q, emb_scale, p_q, p_scale,
                                  w_h2att, b_h2att, w_alpha, b_alpha, masks)
 
@@ -249,7 +257,7 @@ fused_attention_q.defvjp(_fwd_q, _bwd_q)
 def fused_attention(h, att_emb, p_att, w_h2att, b_h2att, w_alpha, b_alpha,
                     masks):
     """Dispatch: Pallas on TPU, reference math elsewhere.  masks may be None."""
-    if jax.devices()[0].platform in ("tpu", "axon"):
+    if on_tpu():
         try:
             if masks is None:
                 return _attention_pallas(h, att_emb, p_att, w_h2att, b_h2att,
@@ -257,8 +265,8 @@ def fused_attention(h, att_emb, p_att, w_h2att, b_h2att, w_alpha, b_alpha,
                                          use_mask=False)
             return _attention_pallas(h, att_emb, p_att, w_h2att, b_h2att,
                                      w_alpha, b_alpha, masks, use_mask=True)
-        except Exception:
-            pass
+        except Exception as err:
+            kernel_fallback("fused_attention", err)
     return attention_reference(h, att_emb, p_att, w_h2att, b_h2att, w_alpha,
                                b_alpha, masks)
 

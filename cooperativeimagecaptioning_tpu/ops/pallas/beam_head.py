@@ -21,6 +21,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cooperativeimagecaptioning_tpu.ops.pallas._dispatch import (
+    kernel_fallback, on_tpu, vocab_mesh)
+
 NEG = -1e30
 
 
@@ -51,8 +54,9 @@ def _make_kernel(m: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("m", "block_b"))
-def beam_head_pallas(h, w, b, m: int, block_b: int = 64):
+@functools.partial(jax.jit, static_argnames=("m", "block_b", "interpret"))
+def beam_head_pallas(h, w, b, m: int, block_b: int = 64,
+                     interpret: bool = False):
     B, H = h.shape
     V = w.shape[1]
     bb = min(block_b, B)
@@ -85,17 +89,72 @@ def beam_head_pallas(h, w, b, m: int, block_b: int = 64):
             jax.ShapeDtypeStruct((B, m_pad), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ],
+        interpret=interpret,
     )(h, w, b.reshape(1, -1))
     return vals[:, :m], idx[:, :m], lse[:, 0]
 
 
-def beam_head(h, w, b, m: int):
-    """Dispatch: resident-W Pallas on TPU for bf16 weights that fit VMEM."""
-    if jax.devices()[0].platform in ("tpu", "axon") and \
-            w.dtype == jnp.bfloat16 and \
+def _local_beam_head(h, w, b, m: int, interpret: bool = False):
+    """Single-shard dispatch body (also the per-shard fn under shard_map):
+    resident-W Pallas on TPU for bf16 weights that fit VMEM."""
+    if interpret:
+        return beam_head_pallas(h, w, b, m, interpret=True)
+    if on_tpu() and w.dtype == jnp.bfloat16 and \
             w.shape[0] * w.shape[1] * 2 <= 11 << 20 and h.shape[0] % 8 == 0:
         try:
             return beam_head_pallas(h, w, b, m)
-        except Exception:
-            pass
+        except Exception as err:
+            kernel_fallback("beam_head", err)
     return beam_head_reference(h, w, b, m)
+
+
+def beam_head_sharded(h, w, b, m: int, mesh, vocab_axis: str = "model",
+                      data_axis: str = "data", interpret: bool = False):
+    """Vocab-sharded beam head over a (data, model) mesh.
+
+    w [H, V] / b [V] are sharded on `vocab_axis`; h rows ride `data_axis`
+    when it divides.  Each model shard runs the resident-W kernel on its local
+    vocab slice, then the per-shard top-m candidates (offset to global ids)
+    and streaming-logsumexp partials merge with one [B, n*m] all_gather over
+    ICI — O(B*m) bytes on the interconnect instead of re-gathering the O(H*V)
+    weight matrix every decode step.  Tie behavior matches the reference
+    top_k (lower global index wins) because the gather is shard-major and
+    within-shard candidates are emitted in first-max order.
+    """
+    n = mesh.shape[vocab_axis]
+    V = w.shape[1]
+    assert V % n == 0, (V, n)
+    d = data_axis if (mesh.shape.get(data_axis, 1) > 1 and
+                      h.shape[0] % mesh.shape[data_axis] == 0) else None
+    P = jax.sharding.PartitionSpec
+
+    def local(h_, w_, b_):
+        vals, idx, lse = _local_beam_head(h_, w_, b_, m, interpret=interpret)
+        shard = jax.lax.axis_index(vocab_axis)
+        idx = idx + (shard * (V // n)).astype(idx.dtype)
+        vals_g = jax.lax.all_gather(vals, vocab_axis, axis=1, tiled=True)
+        idx_g = jax.lax.all_gather(idx, vocab_axis, axis=1, tiled=True)
+        lse_g = jax.lax.all_gather(lse, vocab_axis)            # [n, B]
+        mx = jnp.max(lse_g, axis=0)
+        lse_tot = mx + jnp.log(jnp.sum(jnp.exp(lse_g - mx[None, :]), axis=0))
+        tv, sel = jax.lax.top_k(vals_g, m)
+        ti = jnp.take_along_axis(idx_g, sel, axis=1)
+        return tv, ti, lse_tot
+
+    # check_vma off: the all_gathers DO replicate over vocab_axis but the
+    # varying-axes checker cannot infer it through take_along_axis/top_k
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(d), P(None, vocab_axis), P(vocab_axis)),
+        out_specs=(P(d), P(d), P(d)), check_vma=False)(h, w, b)
+
+
+def beam_head(h, w, b, m: int):
+    """Dispatch: sharded path on a registered model-parallel mesh, else
+    resident-W Pallas on TPU, else reference math."""
+    vm = vocab_mesh()
+    if vm is not None:
+        mesh, va, da = vm
+        if w.shape[1] % mesh.shape[va] == 0:
+            return beam_head_sharded(h, w, b, m, mesh, va, da)
+    return _local_beam_head(h, w, b, m)

@@ -23,6 +23,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cooperativeimagecaptioning_tpu.ops.pallas._dispatch import (
+    kernel_fallback, on_tpu)
+
 
 def cell_reference(xt, h, c, att_res, wi, bi, wh, bh, wc, bc):
     """Pure-JAX semantics.  att_res/wc/bc may be None (FC cell)."""
@@ -67,9 +70,10 @@ def _make_kernel(use_att: bool, H: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("use_att", "block_b"))
+@functools.partial(jax.jit,
+                   static_argnames=("use_att", "block_b", "interpret"))
 def _cell_pallas(xt, h, c, att_res, wi, bi, wh, bh, wc, bc, use_att: bool,
-                 block_b: int = 128):
+                 block_b: int = 128, interpret: bool = False):
     B, D = xt.shape
     H = h.shape[-1]
     bb = min(block_b, B)
@@ -109,6 +113,7 @@ def _cell_pallas(xt, h, c, att_res, wi, bi, wh, bh, wc, bc, use_att: bool,
         ],
         out_shape=[jax.ShapeDtypeStruct((B, H), h.dtype),
                    jax.ShapeDtypeStruct((B, H), h.dtype)],
+        interpret=interpret,
     )(*args)
 
 
@@ -121,13 +126,12 @@ def fused_cell(xt, h, c, att_res, wi, bi, wh, bh, wc, bc):
     path (176k vs 183k captions/s with it off), so it is opt-in via
     CIC_FUSED_CELL=1 pending per-shape tuning."""
     import os
-    if os.environ.get("CIC_FUSED_CELL") == "1" and \
-            jax.devices()[0].platform in ("tpu", "axon"):
+    if os.environ.get("CIC_FUSED_CELL") == "1" and on_tpu():
         try:
             return _cell_pallas(xt, h, c, att_res, wi, bi, wh, bh, wc, bc,
                                 use_att=att_res is not None)
-        except Exception:
-            pass
+        except Exception as err:
+            kernel_fallback("fused_cell", err)
     return cell_reference(xt, h, c, att_res, wi, bi, wh, bh, wc, bc)
 
 

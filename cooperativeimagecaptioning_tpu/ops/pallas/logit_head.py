@@ -19,6 +19,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cooperativeimagecaptioning_tpu.ops.pallas._dispatch import (
+    kernel_fallback, on_tpu, vocab_mesh)
+
 NEG = -1e30
 
 
@@ -67,8 +70,10 @@ def _kernel(h_ref, w_ref, b_ref, it_ref, lp_ref, best_ref, m_ref, s_ref):
         lp_ref[:] = best_ref[:] - (m_ref[:] + jnp.log(s_ref[:]))
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "block_v"))
-def greedy_head_pallas(h, w, b, block_b: int = 256, block_v: int = 1024):
+@functools.partial(jax.jit,
+                   static_argnames=("block_b", "block_v", "interpret"))
+def greedy_head_pallas(h, w, b, block_b: int = 256, block_v: int = 1024,
+                       interpret: bool = False):
     """h [B, H], w [H, V], b [V] -> (it [B] int32, lp [B] f32).
 
     B must divide by block_b; V is padded to block_v internally (padding gets
@@ -112,6 +117,7 @@ def greedy_head_pallas(h, w, b, block_b: int = 256, block_v: int = 1024):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
     )(h, w, b.reshape(1, -1))
     return it[:, 0], lp[:, 0]
 
@@ -128,8 +134,9 @@ def _kernel_resident(h_ref, w_ref, b_ref, it_ref, lp_ref):
     lp_ref[:] = m - lse
 
 
-@functools.partial(jax.jit, static_argnames=("block_b",))
-def greedy_head_pallas_resident(h, w, b, block_b: int = 64):
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def greedy_head_pallas_resident(h, w, b, block_b: int = 64,
+                                interpret: bool = False):
     B, H = h.shape
     V = w.shape[1]
     bb = min(block_b, B)
@@ -157,6 +164,7 @@ def greedy_head_pallas_resident(h, w, b, block_b: int = 64):
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ],
+        interpret=interpret,
     )(h, w, b.reshape(1, -1))
     return it[:, 0], lp[:, 0]
 
@@ -191,11 +199,40 @@ def _head_bwd(res, g):
 _pallas_head_nograd.defvjp(_head_fwd, _head_bwd)
 
 
+def greedy_head_sharded(h, w, b, mesh, vocab_axis: str = "model",
+                        data_axis: str = "data", interpret: bool = False):
+    """Vocab-sharded greedy head: the m=1 case of the sharded beam merge —
+    each model shard finds its local (argmax, max, logsumexp) with the
+    resident-W kernel, the global winner + total logsumexp merge over ICI.
+    First-max tie breaking is preserved (lower shard = lower global index)."""
+    from cooperativeimagecaptioning_tpu.ops.pallas import beam_head
+    vals, idx, lse = beam_head.beam_head_sharded(
+        h, w, b, 1, mesh, vocab_axis, data_axis, interpret=interpret)
+    return idx[:, 0], vals[:, 0] - lse
+
+
+@jax.custom_vjp
+def _sharded_head_nograd(h, w, b):
+    mesh, va, da = vocab_mesh()
+    return greedy_head_sharded(h, w, b, mesh, va, da)
+
+
+def _sharded_fwd(h, w, b):
+    return _sharded_head_nograd(h, w, b), (h, w, b)
+
+
+_sharded_head_nograd.defvjp(_sharded_fwd, _head_bwd)
+
+
 def greedy_head(h, w, b):
-    """Dispatch: Pallas on TPU, reference math elsewhere."""
-    if jax.devices()[0].platform in ("tpu", "axon"):
+    """Dispatch: sharded path on a registered model-parallel mesh, else
+    Pallas on TPU, reference math elsewhere."""
+    vm = vocab_mesh()
+    if vm is not None and w.shape[1] % vm[0].shape[vm[1]] == 0:
+        return _sharded_head_nograd(h, w, b)
+    if on_tpu():
         try:
             return _pallas_head_nograd(h, w, b)
-        except Exception:
-            return greedy_head_reference(h, w, b)
+        except Exception as err:
+            kernel_fallback("greedy_head", err)
     return greedy_head_reference(h, w, b)

@@ -50,6 +50,12 @@ def shard_batch(batch, mesh: Mesh):
     def put(x):
         if x is None:
             return None
+        if isinstance(x, jax.Array) and x.committed:
+            # the caller already placed this leaf deliberately (e.g. a
+            # replicated df_table whose power-of-2 leading dim happens to
+            # divide the data axis) — re-device_put would override that intent
+            # and pay a reshard transfer every step
+            return x
         ok = np.ndim(x) > 0 and x.shape[0] % n_data == 0
         return jax.device_put(x, sharded if ok else replicated)
     return jax.tree.map(put, batch, is_leaf=lambda x: x is None)

@@ -45,6 +45,7 @@ class CaptioningService:
         self.buckets = tuple(sorted(buckets))
         self.max_att_len = max_att_len or getattr(opt, "max_att_len", 0) or 36
         self._warned_trunc = False
+        self._warned_zero_mask = False
         self.speaker = model_zoo.setup(opt, opt.caption_model,
                                        "caption_model")
         self._dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else \
@@ -193,6 +194,20 @@ class CaptioningService:
                     m = np.pad(m, ((0, 0), (0, K - m.shape[1])))
                 else:
                     m = m[:, :K]
+                # a REAL row can end up all-zero too (its valid regions all
+                # beyond K after truncation, or a degenerate input) — the
+                # masked softmax would emit NaN ids; give such rows their
+                # first key back, on a copy so the caller's array is never
+                # mutated
+                zero_rows = m.sum(axis=1) == 0
+                if zero_rows.any():
+                    if not self._warned_zero_mask:
+                        self._warned_zero_mask = True
+                        print("warning: attention mask rows with no valid "
+                              "region after truncation; forcing the first "
+                              "key valid for those rows")
+                    m = m.copy()
+                    m[zero_rows, 0] = 1.0
                 # filler rows (all-zero masks) need >= 1 valid key for the
                 # masked softmax; real rows keep the caller's mask untouched.
                 # pad0 copied when filler rows exist, so the write below can

@@ -66,12 +66,15 @@ def load_params_into(params, path, strict=False):
     missing .pth so eval/harvest work on --checkpoint_backend orbax runs."""
     opath = None if os.path.isfile(path) else _orbax_sibling(path)
     if opath is not None:
+        # restore the tree AS SAVED (no abstract target) and route it through
+        # the same lenient merge as the .pth path, so a structure mismatch —
+        # e.g. a speaker-only checkpoint loaded into speaker+listener params
+        # by eval.py's gt-listener flow — copies overlapping leaves instead of
+        # raising
         import orbax.checkpoint as ocp
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
-            params)
-        return ocp.StandardCheckpointer().restore(opath, abstract)
-    loaded = load_params(path)
+        loaded = ocp.StandardCheckpointer().restore(opath)
+    else:
+        loaded = load_params(path)
 
     def merge(cur, new, prefix=""):
         if isinstance(cur, dict):

@@ -82,6 +82,12 @@ class Trainer:
             self._param_shardings = parallel.param_shardings(
                 params, self.mesh, vocab_sharded=n_model > 1)
             params = jax.device_put(params, self._param_shardings)
+            if n_model > 1:
+                # switch the vocab-head kernels to their shard_map variants
+                # (ops/pallas/_dispatch.py) — the plain pallas_call path would
+                # re-gather the vocab-sharded W every decode step
+                from cooperativeimagecaptioning_tpu.ops.pallas import _dispatch
+                _dispatch.set_vocab_mesh(self.mesh)
         self.params = params
 
         self.optim = OptimizerManager(opt, params)
@@ -91,10 +97,19 @@ class Trainer:
             self.ckpt.load_optimizers(self.optim)
         else:
             # cross-stage seeding: a fresh joint run carries the stage-2
-            # speaker's Adam state (ref optimizer.py:49-96)
-            p2 = getattr(opt, "speaker_stage_2_optimizer_path", "")
-            if p2:
-                self.ckpt.load_agent_optimizer(self.optim, "speaker", p2)
+            # speaker's Adam state and the stage-1 listener's (saved as
+            # optimizer.pth next to initialize_retrieval); both are skipped
+            # under share_embed (ref optimizer.py:49-96, :60-63, :79-85)
+            import os
+            if not getattr(opt, "share_embed", 0):
+                p2 = getattr(opt, "speaker_stage_2_optimizer_path", "")
+                if p2:
+                    self.ckpt.load_agent_optimizer(self.optim, "speaker", p2)
+                ir = getattr(opt, "initialize_retrieval", "") or ""
+                p1 = os.path.join(os.path.dirname(ir), "optimizer.pth")
+                if ir and "listener" in self.optim.state_dict() and \
+                        os.path.isfile(p1):
+                    self.ckpt.load_agent_optimizer(self.optim, "listener", p1)
         self.turns = effective_turns(opt)
 
         # resume counters (ref: train.py:360-375)

@@ -103,3 +103,27 @@ def test_harvest_recognizes_orbax_artifacts(tmp_path):
     harvest.remove_unnecessary_models(metrics, str(run))
     left = sorted(os.listdir(run))
     assert left == ["alternatingModel-10.orbax", "alternatingModel-15.orbax"]
+
+
+def test_load_params_into_orbax_lenient_merge(tmp_path):
+    """A structure mismatch on the .orbax fallback must use the same lenient
+    merge as the .pth path (regression: a speaker-only orbax checkpoint loaded
+    into speaker+listener params raised instead of merging)."""
+    from cooperativeimagecaptioning_tpu.training import checkpoint as ck
+    from cooperativeimagecaptioning_tpu.training import joint
+    import orbax.checkpoint as ocp
+    opt = tiny_opt()
+    saved = joint.init_params(jax.random.PRNGKey(0), opt)
+    path = str(tmp_path / "model.pth")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ck.CheckpointManager._orbax_path(path),
+               {"speaker": saved["speaker"]})
+    ckptr.wait_until_finished()
+    fresh = joint.init_params(jax.random.PRNGKey(1), opt)
+    merged = ck.load_params_into(fresh, path)
+    for a, b in zip(jax.tree.leaves(saved["speaker"]),
+                    jax.tree.leaves(merged["speaker"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(fresh["listener"]),
+                    jax.tree.leaves(merged["listener"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

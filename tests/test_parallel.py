@@ -119,3 +119,65 @@ def test_distributed_step_on_device_cider_refs():
                 mesh, jax.sharding.PartitionSpec("data"))))
         assert np.isfinite(float(loss))
         assert "loss_cider" in aux and float(aux["loss_cider"]) != 0.0
+
+
+def test_shard_batch_keeps_committed_leaves():
+    """A leaf the caller already committed (e.g. a replicated df_table whose
+    power-of-2 leading dim divides the data axis) must pass through shard_batch
+    untouched instead of being re-device_put to P('data') every step."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = make_mesh(n_data=4, n_model=2)
+    df = jax.device_put(jnp.zeros((8, 5)), NamedSharding(mesh, P()))
+    out = shard_batch({"x": jnp.zeros((8, 3)), "df_table": df}, mesh)
+    assert out["df_table"] is df  # deliberate placement preserved
+    assert out["x"].sharding.spec == P("data")
+
+
+@pytest.mark.slow
+def test_vocab_sharded_decode_matches_replicated():
+    """Greedy + beam decode with logit/embed vocab-sharded on the model axis
+    (and the sharded head kernels registered) must produce the same token ids
+    as single-device replicated decode.  This is the n_model>1 eval path the
+    CLI reaches via --mesh_model_axis (round-2 weak item 6)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cooperativeimagecaptioning_tpu import models as zoo
+    from cooperativeimagecaptioning_tpu.ops import decoding
+    from cooperativeimagecaptioning_tpu.ops.pallas import _dispatch
+    from cooperativeimagecaptioning_tpu.parallel import param_shardings
+
+    assert len(jax.devices()) >= 8
+    opt = make_opt()
+    opt.vocab_size = 31                      # V+1 = 32 divides model axis 2
+    params = joint.init_params(jax.random.PRNGKey(0), opt)
+    batch = make_batch(opt)
+    module = zoo.setup(opt, "att2in2", "caption_model")
+
+    def decode(p, beam_size):
+        sp = joint.speaker_view(p, opt)
+        ctx = module.encode_features(sp, batch["fc_feats"],
+                                     batch["att_feats"], batch["att_masks"])
+        if beam_size > 1:
+            out = decoding.beam_search(module, sp, ctx, opt.seq_length,
+                                       beam_size)
+        else:
+            out = decoding.sample(module, sp, ctx, opt.seq_length,
+                                  jax.random.PRNGKey(123), mode="greedy")
+        return out.seq
+
+    want = {bs: np.asarray(jax.jit(decode, static_argnums=1)(params, bs))
+            for bs in (1, 2)}
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    shardings = param_shardings(params, mesh, vocab_sharded=True)
+    specs = {s.spec for s in jax.tree.leaves(shardings)}
+    assert P(None, "model") in specs, "logit.w did not vocab-shard"
+    sharded_params = jax.device_put(params, shardings)
+    _dispatch.set_vocab_mesh(mesh)
+    try:
+        for bs in (1, 2):
+            got = np.asarray(jax.jit(decode, static_argnums=1)(
+                sharded_params, bs))
+            np.testing.assert_array_equal(got, want[bs])
+    finally:
+        _dispatch.set_vocab_mesh(None)

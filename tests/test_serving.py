@@ -234,3 +234,26 @@ def test_service_empty_request(run_dir):
     out = svc.caption_ids(np.zeros((0, opt.fc_feat_size), np.float32))
     assert out.shape == (0, opt.seq_length)
     assert svc.caption(np.zeros((0, opt.fc_feat_size), np.float32)) == []
+
+
+def test_service_zero_mask_real_row_stays_finite(run_dir):
+    """A REAL row whose mask has no valid region after truncation to
+    max_att_len must decode like a first-key-only mask (not NaN), and the
+    caller's mask array must come back unmutated."""
+    ckpt, opt, _ = run_dir
+    svc = CaptioningService.from_run_dir(ckpt, buckets=(4,),
+                                         compute_dtype="float32",
+                                         max_att_len=6)
+    rng = np.random.RandomState(3)
+    n = 4
+    fc = rng.randn(n, opt.fc_feat_size).astype(np.float32)
+    att = rng.randn(n, 8, opt.att_feat_size).astype(np.float32)
+    masks = np.zeros((n, 8), np.float32)
+    masks[:, 6:] = 1.0  # valid regions all beyond K=6 -> all-zero after trunc
+    orig = masks.copy()
+    got = svc.caption_ids(fc, att, masks)
+    first_key = np.zeros((n, 8), np.float32)
+    first_key[:, 0] = 1.0
+    want = svc.caption_ids(fc, att, first_key)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(masks, orig)

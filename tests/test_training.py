@@ -389,3 +389,48 @@ def test_options_replace_rejects_unknown():
     with pytest.raises(AttributeError):
         opt.replace(learning_rte=1e-4)
     assert opt.replace(learning_rate=1e-4).learning_rate == 1e-4
+
+
+def test_listener_optimizer_seeds_from_initialize_retrieval(tmp_path):
+    """A fresh joint run also carries the stage-1 listener's Adam state, read
+    from optimizer.pth next to --initialize_retrieval (ref optimizer.py:79-85);
+    share_embed gates BOTH cross-stage seedings off (ref optimizer.py:60-63)."""
+    import os
+    opt1 = tiny_opt(caption_model="fc", phase=1, vse_loss_weight=1,
+                    caption_loss_weight=0,
+                    checkpoint_path=str(tmp_path / "con"))
+    os.makedirs(opt1.checkpoint_path)
+    ds = tiny_dataset(opt1)
+    tr1 = Trainer(opt1, dataset=ds, verbose=False)
+    for _ in range(2):
+        tr1.train_iteration()
+    tr1.ckpt.save_optimizers(tr1.optim)  # optimizer.pth (phase-1 listener)
+    tr1.ckpt.save_model(tr1.params)      # model.pth
+    tr1.close()
+    retrieval_path = os.path.join(opt1.checkpoint_path, "model.pth")
+
+    def joint_opt(**kw):
+        return tiny_opt(phase=3, is_alternating=1,
+                        alternating_turn=["speaker", "listener"],
+                        retrieval_reward="gumbel",
+                        retrieval_reward_weight=0.1, cider_optimization=0,
+                        caption_loss_weight=1, vse_loss_weight=0.1,
+                        initialize_retrieval=retrieval_path,
+                        checkpoint_path=str(tmp_path / "joint"), **kw)
+
+    jopt = joint_opt()
+    os.makedirs(jopt.checkpoint_path)
+    trj = Trainer(jopt, dataset=ds, verbose=False)
+    want = jax.tree.leaves(tr1.optim.state_dict()["listener"])
+    got = jax.tree.leaves(trj.optim.state_dict()["listener"])
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(want, got))
+    trj.close()
+
+    # share_embed: the listener state must stay FRESH (zero moments)
+    trs = Trainer(joint_opt(share_embed=1), dataset=ds, verbose=False)
+    fresh = jax.tree.leaves(trs.optim.state_dict()["listener"])
+    matched = sum(np.array_equal(np.asarray(a), np.asarray(b))
+                  for a, b in zip(want, fresh))
+    assert matched < len(want)
+    trs.close()
