@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import copy
+import os
 
 
 # (name, type, default, help) — one entry per reference flag, same defaults.
@@ -147,6 +148,11 @@ _FLAGS = [
                                        "orbax (async atomic writes, restores "
                                        "honor live shardings)"),
     ("prefetch_batches", int, 2, "host-side prefetch depth"),
+    ("meteor_data_dir", str, "", "dir with the METEOR 1.5 jar's data files "
+                                 "(function.words / synonyms.txt / "
+                                 "paraphrase-en.gz); activates the synonym + "
+                                 "paraphrase stages (exported as "
+                                 "CIC_METEOR_DATA)"),
     ("seed", int, 123, "global PRNG seed"),
     ("profile_dir", str, "", "jax profiler trace dir (empty = off)"),
     ("profile_start", int, 10, "iteration to start the profiler trace"),
@@ -181,6 +187,9 @@ class Options(argparse.Namespace):
                 raise AttributeError(f"unknown option {k!r}")
             setattr(self, k, v)
         self.current_lr = self.learning_rate
+        if self.meteor_data_dir:
+            # metrics/meteor.py default_resources() reads this env once
+            os.environ["CIC_METEOR_DATA"] = self.meteor_data_dir
 
     def replace(self, **overrides) -> "Options":
         new = copy.deepcopy(self)

@@ -127,7 +127,7 @@ class SyntheticDataset:
     def __init__(self, num_images=64, vocab_size=50, seq_length=16,
                  fc_feat_size=2048, att_feat_size=2048, max_K=36,
                  caps_per_image=5, splits=(0.6, 0.2, 0.2), seed=0,
-                 variable_K=True):
+                 variable_K=True, derived=False):
         rng = np.random.RandomState(seed)
         self.vocab_size = vocab_size
         self.seq_length = seq_length
@@ -142,9 +142,12 @@ class SyntheticDataset:
         # labels: caps_per_image rows per image, contiguous, 1-indexed pointers
         n_caps = num_images * caps_per_image
         self.label = np.zeros((n_caps, seq_length), np.int64)
-        for i in range(n_caps):
-            n = rng.randint(3, seq_length + 1)
-            self.label[i, :n] = rng.randint(1, vocab_size + 1, n)
+        if derived:
+            self._derive_labels(rng, caps_per_image)
+        else:
+            for i in range(n_caps):
+                n = rng.randint(3, seq_length + 1)
+                self.label[i, :n] = rng.randint(1, vocab_size + 1, n)
         self.label_start_ix = np.arange(num_images) * caps_per_image + 1
         self.label_end_ix = self.label_start_ix + caps_per_image - 1
         n_train = int(num_images * splits[0])
@@ -155,6 +158,32 @@ class SyntheticDataset:
                      "val" if ix < n_train + n_val else "test")
             self.info["images"].append(
                 {"id": ix, "split": split, "file_path": f"synthetic/{ix}.jpg"})
+
+    def _derive_labels(self, rng, caps_per_image):
+        """Feature-conditioned captions: a fixed random teacher maps each
+        image's mean attention feature (what the attention models can see)
+        through a tanh bottleneck to per-position vocab logits; the image's
+        caption variants sample from the teacher's per-position top-3.
+
+        Gives the full-scale convergence showcase a LEARNABLE mapping (unlike
+        uniform random captions, which only admit memorization) plus
+        intra-image n-gram overlap so CIDEr rewards are meaningful at large
+        vocab sizes."""
+        hid, L, V = 32, self.seq_length, self.vocab_size
+        w1 = (rng.randn(self._att[0].shape[1], hid) /
+              np.sqrt(self._att[0].shape[1])).astype(np.float32)
+        pos = (0.5 * rng.randn(L, hid)).astype(np.float32)
+        w2 = (rng.randn(hid, V) / np.sqrt(hid)).astype(np.float32)
+        top_p = np.array([0.7, 0.2, 0.1])
+        for ix in range(len(self._att)):
+            z = np.tanh(self._att[ix].mean(0) @ w1)          # [hid]
+            logits = np.tanh(z[None, :] + pos) @ w2          # [L, V]
+            top3 = np.argsort(logits, axis=1)[:, -3:][:, ::-1]  # [L, 3]
+            for j in range(caps_per_image):
+                n = rng.randint(max(3, L - 4), L + 1)
+                picks = top3[np.arange(n),
+                             rng.choice(3, size=n, p=top_p)]
+                self.label[ix * caps_per_image + j, :n] = picks + 1
 
     def num_images(self):
         return len(self.info["images"])

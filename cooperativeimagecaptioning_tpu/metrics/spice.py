@@ -135,8 +135,16 @@ def sentence_spice(hyp: str, refs: list) -> dict:
     return out
 
 
+_warned_lite = []
+
+
 def compute_spice(gts: dict, res: dict):
     """coco-caption contract: (corpus mean F, per-image dicts)."""
+    if not _warned_lite:
+        _warned_lite.append(True)
+        print("note: SPICE here is SPICE-lite (rule-based shallow parse; "
+              "the jar + CoreNLP are missing blobs upstream) — scores are "
+              "NOT comparable to jar-computed literature SPICE")
     ids = sorted(gts.keys(), key=lambda x: str(x))
     scorer = sentence_spice
     try:

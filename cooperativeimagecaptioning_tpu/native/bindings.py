@@ -56,6 +56,8 @@ def _load():
         lib.cic_meteor_stats.restype = ctypes.c_double
         lib.cic_meteor_corpus.argtypes = [ctypes.POINTER(ctypes.c_double)]
         lib.cic_meteor_corpus.restype = ctypes.c_double
+        lib.cic_meteor_configure.argtypes = [ctypes.c_char_p]
+        lib.cic_meteor_configure.restype = ctypes.c_int
         lib.cic_porter_stem.argtypes = [ctypes.c_char_p]
         lib.cic_porter_stem.restype = ctypes.c_char_p
         lib.cic_version.restype = ctypes.c_int
@@ -96,11 +98,21 @@ def ptb_tokenize(captions_for_image: dict) -> dict:
     return out
 
 
-def meteor(gts: dict, res: dict):
+_meteor_cfg = [None]  # last-configured resource serialization
+
+
+def meteor(gts: dict, res: dict, resources=None):
     """Same contract as metrics.meteor.compute_meteor: per-segment scores +
-    the jar's micro-averaged corpus score over summed stats."""
+    the jar's micro-averaged corpus score over summed stats.  `resources`
+    (metrics.meteor.MeteorResources) activates the synonym/paraphrase stages
+    via cic_meteor_configure; the serialization is cached so repeated corpus
+    calls don't re-push the table."""
     import numpy as np
     lib = _load()
+    wire = resources.serialize() if resources is not None else ""
+    if wire != _meteor_cfg[0]:
+        lib.cic_meteor_configure(wire.encode("utf-8", "replace"))
+        _meteor_cfg[0] = wire
     ids = sorted(gts.keys(), key=lambda x: str(x))
     scores = []
     total = np.zeros(6)

@@ -236,7 +236,21 @@ std::string tokenize_line(const std::string& line) {
 // ---------------------------------------------------------------------------
 
 constexpr double ALPHA = 0.85, BETA = 0.2, GAMMA = 0.6, DELTA = 0.75;
-constexpr double W_EXACT = 1.0, W_STEM = 0.6;
+constexpr double W_EXACT = 1.0, W_STEM = 0.6, W_SYN = 0.8, W_PAR = 0.6;
+
+// Optional METEOR 1.5 resources (metrics/meteor.py MeteorResources; set via
+// cic_meteor_configure with the serialize() wire format).  Empty = the
+// built-in exact+stem configuration.
+struct MeteorResources {
+  std::unordered_set<std::string> fw_override;          // function words
+  std::unordered_map<std::string, std::vector<int>> syn_ids;  // word -> gids
+  // phrase (space-joined) -> list of phrases (word vectors), both directions
+  std::unordered_map<std::string, std::vector<std::vector<std::string>>> par;
+  int max_phrase = 1;
+  bool has_syn() const { return !syn_ids.empty(); }
+  bool has_par() const { return !par.empty(); }
+};
+MeteorResources g_res;
 
 const std::unordered_set<std::string>& function_words() {
   // keep in sync with metrics/meteor.py FUNCTION_WORDS
@@ -266,37 +280,119 @@ const std::unordered_set<std::string>& function_words() {
 }
 
 inline double content_weight(const std::string& w) {
-  return function_words().count(w) ? 1.0 - DELTA : DELTA;
+  const auto& fw =
+      g_res.fw_override.empty() ? function_words() : g_res.fw_override;
+  return fw.count(w) ? 1.0 - DELTA : DELTA;
 }
 
 struct Match { int hi, ri; double w; };
 
+// Word keys per stage (mirrors metrics/meteor.py _align keys_fn): one key
+// for exact/stem, the word's synset-group ids ("g<id>") for the syn stage.
+std::vector<std::string> stage_keys(const std::string& w, int stage) {
+  if (stage == 0) return {w};
+  if (stage == 1) return {porter_stem(w)};
+  auto it = g_res.syn_ids.find(w);
+  if (it == g_res.syn_ids.end()) return {};
+  std::vector<std::string> keys;
+  for (int gid : it->second) keys.push_back("g" + std::to_string(gid));
+  return keys;
+}
+
 void run_stage(const std::vector<std::string>& hyp,
                const std::vector<std::string>& ref,
                std::vector<bool>& hyp_taken, std::vector<bool>& ref_taken,
-               std::vector<Match>& matches, bool use_stem, double weight) {
+               std::vector<Match>& matches, int stage, double weight) {
   std::unordered_map<std::string, std::vector<int>> ref_keys;
   for (int ri = 0; ri < (int)ref.size(); ri++) {
     if (!ref_taken[ri])
-      ref_keys[use_stem ? porter_stem(ref[ri]) : ref[ri]].push_back(ri);
+      for (const auto& k : stage_keys(ref[ri], stage))
+        ref_keys[k].push_back(ri);
   }
   int last_ri = -1;
   for (int hi = 0; hi < (int)hyp.size(); hi++) {
     if (hyp_taken[hi]) continue;
-    auto it = ref_keys.find(use_stem ? porter_stem(hyp[hi]) : hyp[hi]);
-    if (it == ref_keys.end()) continue;
-    int pick = -1, fallback = -1;
-    for (int ri : it->second) {
-      if (ref_taken[ri]) continue;
-      if (fallback < 0) fallback = ri;
-      if (ri > last_ri) { pick = ri; break; }
+    // sorted union of untaken candidates over the word's keys (the Python
+    // tier's sorted set); per-key vectors are ascending already
+    std::vector<int> cands;
+    for (const auto& k : stage_keys(hyp[hi], stage)) {
+      auto it = ref_keys.find(k);
+      if (it == ref_keys.end()) continue;
+      for (int ri : it->second)
+        if (!ref_taken[ri]) cands.push_back(ri);
     }
-    if (pick < 0) pick = fallback;
-    if (pick < 0) continue;
+    if (cands.empty()) continue;
+    std::sort(cands.begin(), cands.end());
+    cands.erase(std::unique(cands.begin(), cands.end()), cands.end());
+    int pick = -1;
+    for (int ri : cands)
+      if (ri > last_ri) { pick = ri; break; }
+    if (pick < 0) pick = cands[0];
     hyp_taken[hi] = true;
     ref_taken[pick] = true;
     matches.push_back({hi, pick, weight});
     last_ri = pick;
+  }
+}
+
+std::string join_ws(const std::vector<std::string>& words, int start, int n) {
+  std::string s;
+  for (int i = start; i < start + n; i++) {
+    if (!s.empty()) s += ' ';
+    s += words[i];
+  }
+  return s;
+}
+
+// Phrase-level paraphrase stage (mirrors metrics/meteor.py
+// _run_paraphrase_stage: longest untaken hyp span first, leftmost untaken
+// ref occurrence preferring past the last match; min-length-prefix pairs).
+void run_paraphrase_stage(const std::vector<std::string>& hyp,
+                          const std::vector<std::string>& ref,
+                          std::vector<bool>& hyp_taken,
+                          std::vector<bool>& ref_taken,
+                          std::vector<Match>& matches) {
+  int last_ri = -1;
+  auto span_free = [](const std::vector<bool>& taken, int start, int n) {
+    for (int i = start; i < start + n; i++)
+      if (taken[i]) return false;
+    return true;
+  };
+  auto find_ref = [&](const std::vector<std::string>& phrase) {
+    int n = (int)phrase.size();
+    int first = -1;
+    for (int rs = 0; rs + n <= (int)ref.size(); rs++) {
+      if (!span_free(ref_taken, rs, n)) continue;
+      bool eq = true;
+      for (int i = 0; i < n && eq; i++) eq = ref[rs + i] == phrase[i];
+      if (!eq) continue;
+      if (rs > last_ri) return rs;
+      if (first < 0) first = rs;
+    }
+    return first;
+  };
+  for (int hi = 0; hi < (int)hyp.size(); hi++) {
+    if (hyp_taken[hi]) continue;
+    int max_n = std::min(g_res.max_phrase, (int)hyp.size() - hi);
+    for (int n = max_n; n >= 1; n--) {
+      if (!span_free(hyp_taken, hi, n)) continue;
+      auto it = g_res.par.find(join_ws(hyp, hi, n));
+      if (it == g_res.par.end()) continue;
+      bool matched = false;
+      for (const auto& dst : it->second) {
+        int rs = find_ref(dst);
+        if (rs < 0) continue;
+        for (int i = 0; i < n; i++) hyp_taken[hi + i] = true;
+        for (int i = 0; i < (int)dst.size(); i++) ref_taken[rs + i] = true;
+        for (int i = 0; i < std::min(n, (int)dst.size()); i++)
+          matches.push_back({hi + i, rs + i, W_PAR});
+        last_ri = rs + (int)dst.size() - 1;
+        hi += n - 1;
+        matched = true;
+        break;
+      }
+      if (matched) break;
+    }
   }
 }
 
@@ -316,8 +412,10 @@ void pair_stats(const std::vector<std::string>& hyp,
                 const std::vector<std::string>& ref, double st[6]) {
   std::vector<bool> ht(hyp.size(), false), rt(ref.size(), false);
   std::vector<Match> matches;
-  run_stage(hyp, ref, ht, rt, matches, false, W_EXACT);
-  run_stage(hyp, ref, ht, rt, matches, true, W_STEM);
+  run_stage(hyp, ref, ht, rt, matches, 0, W_EXACT);
+  run_stage(hyp, ref, ht, rt, matches, 1, W_STEM);
+  if (g_res.has_syn()) run_stage(hyp, ref, ht, rt, matches, 2, W_SYN);
+  if (g_res.has_par()) run_paraphrase_stage(hyp, ref, ht, rt, matches);
   double wp = 0, wr = 0, pd = 0, rd = 0;
   for (auto& w : hyp) pd += content_weight(w);
   for (auto& w : ref) rd += content_weight(w);
@@ -393,6 +491,61 @@ const char* cic_tokenize(const char* input) {
   }
   if (!g_out.empty() && g_out.back() == '\n') g_out.pop_back();
   return g_out.c_str();
+}
+
+// Configure the optional METEOR 1.5 resources (MeteorResources.serialize():
+// FW '\x03' SYNGROUPS '\x03' PARAPHRASES, groups/entries '\x01'-separated,
+// paraphrase sides '\x02'-separated).  Empty payload resets to the built-in
+// exact+stem configuration.  Returns the number of paraphrase entries.
+int cic_meteor_configure(const char* payload) {
+  g_res = MeteorResources();
+  if (!payload || !*payload) return 0;
+  std::vector<std::string> sections;
+  const char* p = payload;
+  while (sections.size() < 3) {
+    const char* e = strchr(p, '\x03');
+    size_t len = e ? (size_t)(e - p) : strlen(p);
+    sections.emplace_back(p, len);
+    if (!e) break;
+    p = e + 1;
+  }
+  sections.resize(3);
+  for (const auto& w : split_ws(sections[0])) g_res.fw_override.insert(w);
+  auto split_on = [](const std::string& s, char sep) {
+    std::vector<std::string> out;
+    size_t start = 0;
+    while (start <= s.size()) {
+      size_t e = s.find(sep, start);
+      if (e == std::string::npos) { out.push_back(s.substr(start)); break; }
+      out.push_back(s.substr(start, e - start));
+      start = e + 1;
+    }
+    return out;
+  };
+  if (!sections[1].empty()) {
+    int gid = 0;
+    for (const auto& group : split_on(sections[1], '\x01')) {
+      for (const auto& w : split_ws(group))
+        g_res.syn_ids[w].push_back(gid);
+      gid++;
+    }
+  }
+  int n_par = 0;
+  if (!sections[2].empty()) {
+    for (const auto& entry : split_on(sections[2], '\x01')) {
+      size_t sep = entry.find('\x02');
+      if (sep == std::string::npos) continue;
+      auto src = entry.substr(0, sep);
+      auto dst = split_ws(entry.substr(sep + 1));
+      if (src.empty() || dst.empty()) continue;
+      g_res.par[src].push_back(dst);
+      // cap matches the Python tier's MAX_PHRASE
+      g_res.max_phrase = std::min(6, std::max(
+          g_res.max_phrase, (int)split_ws(src).size()));
+      n_par++;
+    }
+  }
+  return n_par;
 }
 
 // METEOR for one segment: hyp '\x02' ref1 '\x01' ref2 ...

@@ -1,0 +1,230 @@
+#!/usr/bin/env python3
+"""Full-dimension convergence showcase: the reference's 3-stage cooperative
+protocol at FULL model scale on one TPU chip.
+
+Dimensions match the reference paper protocol exactly (att2in2: vocab 9487,
+rnn/input-enc/att-hid 512, feats 2048, K<=36, seq 16, batch 128 —
+bash_scripts/run_att.sh + run_joint.sh:43,54,249-251); the data is a derived
+synthetic dataset (captions are a fixed random teacher function of each
+image's attention features, data/sources.py SyntheticDataset(derived=True))
+so there is a real mapping to LEARN, not just memorize, and intra-image
+n-gram overlap keeps CIDEr meaningful at the 9487-word vocabulary.
+
+Stages (flag-sets mirror scripts/run_fc_con.py / run_att.py / run_joint.py):
+  1. phase-1 listener (VSE) pretrain on GT captions
+  2. phase-2 speaker MLE to convergence (val XE tracked per checkpoint eval)
+  3. phase-3 joint gumbel-ST + on-device CIDEr (cached-df DfTable built from
+     the train split), seeded from stages 1+2 incl. both Adam states,
+     >= --joint-iters iterations with full checkpoint evals, then harvesting.
+
+Writes showcase_full_scale.json {stage: {it_per_s, trajectory}} in --workdir.
+Run on the TPU:  python scripts/showcase_full_scale.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+FULL_DIMS = dict(
+    caption_model="att2in2", vse_model="fc",
+    rnn_size=512, input_encoding_size=512, att_hid_size=512,
+    fc_feat_size=2048, att_feat_size=2048, vse_embed_size=1024,
+    drop_prob_lm=0.5, max_att_len=36)
+VOCAB, SEQ_LEN = 9487, 16
+
+
+def build_dataset(num_images):
+    from cooperativeimagecaptioning_tpu.data.sources import SyntheticDataset
+    t0 = time.time()
+    ds = SyntheticDataset(
+        num_images=num_images, vocab_size=VOCAB, seq_length=SEQ_LEN,
+        fc_feat_size=2048, att_feat_size=2048, max_K=36, caps_per_image=5,
+        derived=True, seed=7)
+    print(f"derived dataset: {num_images} images x 5 caps, vocab {VOCAB} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    return ds
+
+
+def write_df_pickle(ds, name="synthtalk"):
+    """Train-split document frequencies in the reference pickle format
+    (ciderD_scorer.py:70-74: df over per-image reference sets, ref_len =
+    #sets; tokens as decimal-id strings like misc/rewards.py array_to_str)."""
+    from collections import Counter
+    df = Counter()
+    n_docs = 0
+    for img in ds.info["images"]:
+        if img["split"] != "train":
+            continue
+        n_docs += 1
+        grams = set()
+        for row in ds.get_refs(img["id"]):
+            toks = [str(int(t)) for t in row if t > 0]
+            for n in range(1, 5):
+                for i in range(len(toks) - n + 1):
+                    grams.add(tuple(toks[i:i + n]))
+        df.update(grams)
+    os.makedirs("data", exist_ok=True)
+    with open(f"data/{name}.p", "wb") as f:
+        pickle.dump({"ref_len": n_docs, "document_frequency": dict(df)}, f)
+    print(f"df pickle: {len(df)} ngrams over {n_docs} train images",
+          flush=True)
+    return name
+
+
+def run_stage(tag, opt, ds, iters, log_every=200):
+    from cooperativeimagecaptioning_tpu.training.loop import Trainer
+    tr = Trainer(opt, dataset=ds, verbose=False)
+    print(f"[{tag}] starting: {iters} iterations", flush=True)
+    t_start = time.time()
+    t_lap, lap_iter0 = t_start, tr.iteration
+    compiled_at = None
+    traj = []
+    while tr.iteration < iters:
+        loss_dict, turn, _ = tr.train_iteration()
+        if compiled_at is None:
+            compiled_at = time.time()  # first step done = compile paid
+            t_lap, lap_iter0 = compiled_at, tr.iteration
+        if tr.iteration % opt.save_checkpoint_every == 0:
+            tr.checkpoint_operations()
+            now = time.time()
+            it_s = (tr.iteration - lap_iter0) / max(1e-9, now - t_lap)
+            t_lap, lap_iter0 = time.time(), tr.iteration
+            lang = tr.val_result_history.get(tr.iteration, {})
+            ls = lang.get("lang_stats") or {}
+            point = {
+                "iteration": tr.iteration, "turn": turn,
+                "it_per_s": round(it_s, 2),
+                "loss": round(float(loss_dict["loss"]), 4),
+                "val_loss": _val_loss(lang.get("loss")),
+                "CIDEr": ls.get("CIDEr"), "Bleu_4": ls.get("Bleu_4"),
+                "rsum": _rsum(lang.get("loss")),
+            }
+            traj.append(point)
+            print(f"[{tag}] " + " ".join(
+                f"{k}={v}" for k, v in point.items() if v is not None),
+                flush=True)
+    tr.checkpoint_operations()
+    tr.close()
+    total = time.time() - t_start
+    steady = traj[-1]["it_per_s"] if traj else None
+    print(f"[{tag}] done: {iters} iters in {total:.0f}s "
+          f"(steady {steady} it/s)", flush=True)
+    return {"iters": iters, "total_s": round(total, 1),
+            "steady_it_per_s": steady, "trajectory": traj}
+
+
+def _val_loss(v):
+    if isinstance(v, dict):
+        v = v.get("loss_cap", v.get("loss"))
+    try:
+        return round(float(v), 4)
+    except (TypeError, ValueError):
+        return None
+
+
+def _rsum(v):
+    if isinstance(v, dict):
+        r = v.get("rsum")
+        if r is None and isinstance(v.get("val"), dict):
+            r = v["val"].get("rsum")
+        try:
+            return round(float(r), 1)
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--images", type=int, default=5000)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--listener-iters", type=int, default=1000)
+    p.add_argument("--mle-iters", type=int, default=6000)
+    p.add_argument("--joint-iters", type=int, default=3000)
+    p.add_argument("--eval-every", type=int, default=500)
+    p.add_argument("--workdir", default="/tmp/cic_showcase_full")
+    args = p.parse_args(argv)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    os.chdir(args.workdir)
+
+    from cooperativeimagecaptioning_tpu.config import Options
+    from cooperativeimagecaptioning_tpu.evaluation import harvest
+
+    ds = build_dataset(args.images)
+    df_name = write_df_pickle(ds)
+    n_val = sum(1 for im in ds.info["images"] if im["split"] == "val")
+    common = dict(batch_size=args.batch, language_eval=1,
+                  save_checkpoint_every=args.eval_every,
+                  val_images_use=n_val, losses_log_every=100,
+                  max_epochs=-1, **FULL_DIMS)
+    results = {"dims": dict(vocab=VOCAB, seq=SEQ_LEN, batch=args.batch,
+                            images=args.images, **FULL_DIMS)}
+
+    # stage 1 — listener pretrain (scripts/run_fc_con.py flag-set; the vse
+    # listener is the fc model regardless of the speaker family)
+    s1 = os.path.join(args.workdir, "log_fc_con")
+    os.makedirs(s1, exist_ok=True)
+    opt1 = Options(id="fc_con", phase=1, vse_loss_weight=1,
+                   caption_loss_weight=0, rank_eval=1, seq_per_img=5,
+                   learning_rate=5e-4, learning_rate_decay_start=0,
+                   learning_rate_decay_every=15, scheduled_sampling_start=0,
+                   checkpoint_path=s1, **{**common, "language_eval": 0})
+    results["stage1_listener"] = run_stage("stage1", opt1, ds,
+                                           args.listener_iters)
+
+    # stage 2 — speaker MLE (scripts/run_att.py flag-set)
+    s2 = os.path.join(args.workdir, "log_att")
+    os.makedirs(s2, exist_ok=True)
+    opt2 = Options(id="att", phase=2, vse_loss_weight=0,
+                   caption_loss_weight=1, retrieval_reward_weight=0,
+                   rank_eval=0, seq_per_img=5, learning_rate=5e-4,
+                   learning_rate_decay_start=0, scheduled_sampling_start=0,
+                   checkpoint_path=s2, **common)
+    results["stage2_mle"] = run_stage("stage2", opt2, ds, args.mle_iters)
+
+    # stage 3 — joint cooperative (scripts/run_joint.py gumbel flag-set,
+    # discriminative 0.01 / cider 0.99, seeded from stages 1+2 with both
+    # Adam states; ref bash_scripts/run_joint.sh + copy_model.sh)
+    s3 = os.path.join(args.workdir, "joint_g")
+    os.makedirs(s3, exist_ok=True)
+    s2_model = os.path.join(s2, "model-best.pth")
+    s1_model = os.path.join(s1, "model-best.pth")
+    opt3 = Options(
+        id="att_d0.01", phase=3, is_alternating=1,
+        alternating_turn=["speaker", "listener"],
+        retrieval_reward="gumbel", retrieval_reward_weight=0.01,
+        cider_optimization=0.99, caption_loss_weight=0, vse_loss_weight=0,
+        gumbel_temp=1.0, on_device_cider=1, cached_tokens=df_name,
+        seq_per_img=1, learning_rate=5e-4, learning_rate_decay_rate=0.8,
+        learning_rate_decay_start=0, learning_rate_decay_every=15,
+        scheduled_sampling_start=0, rank_eval=1, rank_on_gen_captions=True,
+        checkpoint_path=s3,
+        speaker_stage_2_model_path=s2_model,
+        speaker_stage_2_optimizer_path=os.path.join(s2, "optimizer.pth"),
+        initialize_retrieval=s1_model,
+        **common)
+    results["stage3_joint"] = run_stage("stage3", opt3, ds, args.joint_iters)
+
+    harvest.create_dicts_and_json_after_training(opt3, dataset=ds)
+    results["harvest"] = sorted(os.listdir(s3))[:40]
+
+    out = os.path.join(args.workdir, "showcase_full_scale.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"showcase results -> {out}", flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -154,3 +154,121 @@ def test_bleu_single_image_stays_closest():
     np.testing.assert_allclose(got, want, rtol=1e-8)
     for k in range(4):
         np.testing.assert_allclose(got_per[k], want_per[k], rtol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# METEOR 1.5 stage machinery (synonym / paraphrase / function-word data files,
+# ref protocol: coco-caption/pycocoevalcap/meteor/meteor.py:17-47; the data
+# blobs are missing upstream — synthetic tables exercise the machinery)
+# ---------------------------------------------------------------------------
+
+def _stage_resources():
+    return meteor.MeteorResources(
+        function_words=["the", "a", "of"],
+        synonym_groups=[{"cat", "feline"}, {"dog", "canine", "hound"}],
+        paraphrases=[(["big", "house"], ["mansion"]), (["quick"], ["fast"])])
+
+
+def test_meteor_synonym_stage_weight():
+    """A synonym-only match scores with weight 0.8: between exact (1.0) and
+    no match, and above a stem-only variant at equal alignment shape."""
+    res = _stage_resources()
+    s_exact = meteor.sentence_meteor("the cat sat", ["the cat sat"], res)
+    s_syn = meteor.sentence_meteor("the feline sat", ["the cat sat"], res)
+    s_none = meteor.sentence_meteor("the rock sat", ["the cat sat"], res)
+    assert s_exact > s_syn > s_none
+
+
+def test_meteor_synonym_needs_shared_group():
+    res = _stage_resources()
+    with_syn = meteor.sentence_meteor("a hound ran", ["a dog ran"], res)
+    without = meteor.sentence_meteor("a hound ran", ["a dog ran"])
+    assert with_syn > without
+
+
+def test_meteor_paraphrase_stage_matches_phrases():
+    res = _stage_resources()
+    s_par = meteor.sentence_meteor(
+        "she bought the mansion", ["she bought the big house"], res)
+    s_off = meteor.sentence_meteor(
+        "she bought the mansion", ["she bought the big house"])
+    assert s_par > s_off
+    # both directions of a table entry match
+    s_rev = meteor.sentence_meteor(
+        "she bought the big house", ["she bought the mansion"], res)
+    assert s_rev > meteor.sentence_meteor(
+        "she bought the big house", ["she bought the mansion"])
+
+
+def test_meteor_function_words_override():
+    """A provided function.words list replaces the built-in set: demoting a
+    content word to function changes the delta weighting."""
+    base = meteor.sentence_meteor("red bike", ["red bike parked"])
+    res = meteor.MeteorResources(function_words=["parked"])
+    changed = meteor.sentence_meteor("red bike", ["red bike parked"], res)
+    assert changed != base
+
+
+def test_meteor_resources_load_gz_paraphrase_format(tmp_path):
+    """paraphrase-en.gz line convention: 'phrase ||| paraphrase [||| prob]',
+    gz-compressed; function.words one per line."""
+    import gzip
+    par = tmp_path / "paraphrase-en.gz"
+    with gzip.open(par, "wt") as f:
+        f.write("big house ||| mansion ||| 0.71\n")
+        f.write("quick\tfast\n")           # tab variant accepted too
+        f.write("malformed line\n")
+    fw = tmp_path / "function.words"
+    fw.write_text("# comment\nthe\na\nof\n")
+    syn = tmp_path / "synonyms.txt"
+    syn.write_text("cat feline\nlonely\n")
+    res = meteor.MeteorResources.load(
+        function_words_path=str(fw), synonyms_path=str(syn),
+        paraphrase_path=str(par))
+    assert res.function_words == frozenset({"the", "a", "of"})
+    assert res.synonym_groups == [frozenset({"cat", "feline"})]
+    assert tuple("big house".split()) in res.par_map
+    assert tuple(["mansion"]) in res.par_map  # reverse direction
+    assert tuple(["quick"]) in res.par_map
+    s = meteor.sentence_meteor("a mansion", ["a big house"], res)
+    assert s > meteor.sentence_meteor("a mansion", ["a big house"])
+
+
+def test_meteor_stage_tiers_agree_bitwise():
+    """Python and C++ tiers must agree on scores WITH resources active (the
+    native tier receives them via cic_meteor_configure)."""
+    from cooperativeimagecaptioning_tpu.native import bindings
+    if not bindings.available():
+        import pytest
+        pytest.skip("native tier unavailable")
+    res = _stage_resources()
+    gts = {0: ["the cat sat on the big house mat", "a feline rested quick"],
+           1: ["a dog ran fast across the field"],
+           2: ["empty hypothesis case reference"]}
+    hyp = {0: ["the feline sat on the mansion mat"],
+           1: ["a hound ran quick across a field"],
+           2: [""]}
+    ids = sorted(gts)
+    py_scores, total = [], np.zeros(6)
+    for i in ids:
+        sc, st = meteor.sentence_stats(hyp[i][0], gts[i], res)
+        py_scores.append(sc)
+        total += np.asarray(st)
+    nat_corpus, nat_scores = bindings.meteor(gts, hyp, res)
+    np.testing.assert_allclose(nat_scores, py_scores, atol=1e-12)
+    np.testing.assert_allclose(nat_corpus,
+                               meteor._score_from_stats(total), atol=1e-12)
+    # and the no-resources path resets cleanly after a configured call
+    nat0 = bindings.meteor(gts, hyp, None)
+    py0 = [meteor.sentence_stats(hyp[i][0], gts[i], None)[0] for i in ids]
+    np.testing.assert_allclose(nat0[1], py0, atol=1e-12)
+
+
+def test_meteor_lite_notice_printed_once(capsys):
+    meteor._warned_lite.clear()
+    gts = {0: ["a b"]}
+    hyp = {0: ["a b"]}
+    meteor.compute_meteor(gts, hyp)
+    meteor.compute_meteor(gts, hyp)
+    out = capsys.readouterr().out
+    assert out.count("NOT comparable to jar-computed") == 1
