@@ -148,6 +148,13 @@ _FLAGS = [
                                        "orbax (async atomic writes, restores "
                                        "honor live shardings)"),
     ("prefetch_batches", int, 2, "host-side prefetch depth"),
+    ("device_feature_cache", int, 0, "keep the TRAIN split's fc/att features "
+                                     "HBM-resident and gather batches on "
+                                     "device by index (for datasets that fit "
+                                     "device memory; removes the per-step "
+                                     "host->device feature stream, the "
+                                     "full-dim protocol's bottleneck through "
+                                     "the tunnel)"),
     ("meteor_data_dir", str, "", "dir with the METEOR 1.5 jar's data files "
                                  "(function.words / synonyms.txt / "
                                  "paraphrase-en.gz); activates the synonym + "
@@ -198,6 +205,24 @@ class Options(argparse.Namespace):
                 raise AttributeError(f"unknown option {k!r}")
             setattr(new, k, v)
         return new
+
+
+def parse_set_overrides(pairs):
+    """'k=v' strings (the run scripts' repeatable --set flag) -> an Options
+    override dict; values parse as int, then float, then string."""
+    out = {}
+    for s in pairs or []:
+        k, sep, v = s.partition("=")
+        if not sep:
+            raise ValueError(f"--set expects k=v, got {s!r}")
+        for cast in (int, float):
+            try:
+                v = cast(v)
+                break
+            except ValueError:
+                pass
+        out[k] = v
+    return out
 
 
 def build_parser() -> argparse.ArgumentParser:

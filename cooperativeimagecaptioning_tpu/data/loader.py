@@ -110,6 +110,15 @@ class DataLoader:
         self._prefetchers = {}
         self._prefetch_enabled = prefetch
         self._prefetch_depth = getattr(opt, "prefetch_batches", 2)
+        # splits whose batches skip feature loading (the Trainer's
+        # HBM-resident feature cache gathers them on device by infos[ix];
+        # labels/masks/gts/infos keep full fidelity)
+        self.feature_free_splits = set()
+
+    def set_feature_free(self, split, on=True):
+        self._drop_prefetcher(split)  # queued batches carry features
+        (self.feature_free_splits.add if on
+         else self.feature_free_splits.discard)(split)
 
     # -- reference API -------------------------------------------------------
     def get_vocab(self):
@@ -164,6 +173,10 @@ class DataLoader:
 
     def _fetch_one(self, split):
         ix, wrapped = self._next_index(split)
+        if split in self.feature_free_splits:
+            seq = self._get_captions(ix) if self.ds.label is not None else None
+            return (np.zeros((1,), np.float32), np.zeros((1, 1), np.float32),
+                    seq, ix, wrapped)
         fc = self.ds.get_fc(ix) if self.use_fc else np.zeros((1,), np.float32)
         if self.use_att:
             att = self.ds.get_att(ix)

@@ -170,6 +170,11 @@ class SyntheticDataset:
         intra-image n-gram overlap so CIDEr rewards are meaningful at large
         vocab sizes."""
         hid, L, V = 32, self.seq_length, self.vocab_size
+        if self._fc.shape[1] == self._att[0].shape[1]:
+            # fc = mean-pooled att (what cocotalk_fc is in the real prepro) so
+            # BOTH feature views carry the caption signal — the fc-based
+            # listener would otherwise face unlearnable retrieval
+            self._fc = np.stack([a.mean(0) for a in self._att])
         w1 = (rng.randn(self._att[0].shape[1], hid) /
               np.sqrt(self._att[0].shape[1])).astype(np.float32)
         pos = (0.5 * rng.randn(L, hid)).astype(np.float32)

@@ -108,14 +108,17 @@ def _make_kernel(use_mask: bool):
     return kernel
 
 
-def _pick_block_b(B, K, H, A, cap):
+def _pick_block_b(B, K, H, A, cap, itemsize=2):
     # Double-buffered [bb,K,H]+[bb,K,A] inputs plus the f32 tanh intermediate
     # must fit the 16MB scoped VMEM.  bb=64 is the measured sweet spot at
-    # K=36, H=A=512 (128 OOMs there); scale down with K and the hidden dims so
-    # K=100 bottom-up features (and bigger att_hid_size) still compile.
-    budget = 64 * 36 * 512  # known-good bb*K*max(H,A) product
+    # K=36, H=A=512 in bf16 (128 OOMs there); scale down with K, the hidden
+    # dims AND the element width — f32 att features (default-precision eval
+    # decode) double the input bytes and OOMed at the bf16-calibrated block
+    # (20MB vs the 16MB scoped limit, at the outer jit's compile time where
+    # the dispatch guard cannot catch it).
+    budget = 64 * 36 * 512 * 2  # known-good bb*K*max(H,A)*itemsize bytes
     bb = min(cap, B)
-    while bb > 8 and bb * K * max(H, A) > budget:
+    while bb > 8 and bb * K * max(H, A) * max(2, itemsize) > budget:
         bb //= 2
     while B % bb:
         bb //= 2
@@ -129,7 +132,7 @@ def _attention_pallas(h, att_emb, p_att, w_h2att, b_h2att, w_alpha, b_alpha,
                       interpret: bool = False):
     B, K, H = att_emb.shape
     A = p_att.shape[2]
-    bb = _pick_block_b(B, K, H, A, block_b)
+    bb = _pick_block_b(B, K, H, A, block_b, att_emb.dtype.itemsize)
     grid = (B // bb,)
     in_specs = [
         pl.BlockSpec((bb, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -191,7 +194,7 @@ def _attention_pallas_q(h, emb_q, emb_scale, p_q, p_scale, w_h2att, b_h2att,
                         block_b: int = 64, interpret: bool = False):
     B, K, H = emb_q.shape
     A = p_q.shape[2]
-    bb = _pick_block_b(B, K, H, A, block_b)
+    bb = _pick_block_b(B, K, H, A, block_b, emb_q.dtype.itemsize)
     grid = (B // bb,)
     in_specs = [
         pl.BlockSpec((bb, H), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -38,11 +38,15 @@ class Trainer:
         infos = self.ckpt.load_infos()
         histories = self.ckpt.load_histories()
 
-        # model params (+ bootstrap cascade, ref AlternatingJointModel.py:131-177)
+        # model params (+ bootstrap cascade).  Order mirrors the reference:
+        # the init-time seeds (stage-2 speaker + stage-1 listener,
+        # AlternatingJointModel.py:131-177) apply FIRST, then the lenient
+        # start_from load (train.py's resume) overrides whatever keys the
+        # checkpoint actually has — so a mid-joint resume keeps the TRAINED
+        # listener instead of re-seeding it from stage 1
         seed = rng_seed if rng_seed is not None else getattr(opt, "seed", 123)
         params = joint.init_params(jax.random.PRNGKey(seed), opt)
-        params, resumed = self.ckpt.try_load_model(params)
-        if not resumed and opt.is_alternating and \
+        if opt.is_alternating and \
                 getattr(opt, "continue_from_existing_models", True):
             import os
             from cooperativeimagecaptioning_tpu.training import checkpoint as ck
@@ -60,6 +64,7 @@ class Trainer:
                     params = dict(params)
                     params["listener"] = jax.tree.map(
                         jnp.asarray, loaded["listener"])
+        params, resumed = self.ckpt.try_load_model(params)
         # device mesh (TPU-native; the reference is single-GPU,
         # ref train.py:181-185 — SURVEY §2.3). Params are committed to the
         # mesh (replicated, vocab matrices optionally sharded on 'model');
@@ -143,7 +148,53 @@ class Trainer:
                 f"data/{opt.cached_tokens}.p")
         if opt.cider_optimization > 0:
             self_critical.init_scorer(opt.cached_tokens)
+        # HBM-resident feature cache (--device_feature_cache): train batches
+        # gather fc/att on device by infos[ix] instead of streaming ~40MB of
+        # features host->device every step (the full-dim protocol's
+        # bottleneck through the tunnel); opt-in, for datasets that fit HBM
+        self._feat_cache = None
+        if getattr(opt, "device_feature_cache", 0):
+            self._feat_cache = self._build_feature_cache()
+            self.loader.set_feature_free("train")
         self._update_schedules()
+
+    def _put_chunked(self, arr, chunk_bytes=64 << 20):
+        """Host->device in bounded chunks + one on-device concatenate: a
+        single GB-sized device_put is one giant RPC that remote/tunneled
+        backends can drop (observed wedging the axon tunnel)."""
+        rows = max(1, chunk_bytes // max(1, arr[0].nbytes))
+        if len(arr) <= rows:
+            return jnp.asarray(arr)
+        parts = [jnp.asarray(arr[i: i + rows])
+                 for i in range(0, len(arr), rows)]
+        return jnp.concatenate(parts, axis=0)
+
+    def _build_feature_cache(self):
+        ds = self.loader.ds
+        N = ds.num_images()
+        fc = np.stack([np.asarray(ds.get_fc(ix), np.float32)
+                       for ix in range(N)])
+        cache = {"fc": self._put_chunked(fc)}
+        if self.opt.use_att:
+            atts = [np.asarray(ds.get_att(ix), np.float32) for ix in range(N)]
+            K = max(a.shape[0] for a in atts)
+            if self.loader.max_att_len:
+                K = max(K, self.loader.max_att_len)
+            att = np.zeros((N, K, atts[0].shape[1]), np.float32)
+            mask = np.zeros((N, K), np.float32)
+            for i, a in enumerate(atts):
+                att[i, : a.shape[0]] = a
+                mask[i, : a.shape[0]] = 1
+            cache["att"] = self._put_chunked(att)
+            cache["att_mask"] = jnp.asarray(mask)
+        jax.block_until_ready(cache)
+        if self.verbose:
+            gb = sum(x.nbytes for x in jax.tree.leaves(cache)) / 2**30
+            print(f"device feature cache resident: {N} images, {gb:.2f} GB")
+        if self.mesh is not None:
+            from cooperativeimagecaptioning_tpu import parallel
+            cache = parallel.replicate(cache, self.mesh)
+        return cache
 
     # -- schedules -----------------------------------------------------------
     def _update_schedules(self):
@@ -187,6 +238,18 @@ class Trainer:
         """Host batch dict -> device arrays (+ reward refs, mesh shardings)."""
         opt = self.opt
         batch = self._batch_arrays(data, opt.use_att)
+        if self._feat_cache is not None and data.get("infos"):
+            # device gather from the HBM-resident cache (rows are per-image,
+            # seq_per_img consecutive — the _assemble layout)
+            idx = jnp.asarray(np.repeat(
+                [i["ix"] for i in data["infos"]], self.loader.seq_per_img),
+                jnp.int32)
+            batch["fc_feats"] = jnp.take(self._feat_cache["fc"], idx, axis=0)
+            if opt.use_att and "att" in self._feat_cache:
+                batch["att_feats"] = jnp.take(
+                    self._feat_cache["att"], idx, axis=0)
+                batch["att_masks"] = jnp.take(
+                    self._feat_cache["att_mask"], idx, axis=0)
         if joint.needs_device_refs(opt) and joint._cider_active(
                 opt, "optimizer") and data.get("gts"):
             from cooperativeimagecaptioning_tpu.rewards import ngram_device

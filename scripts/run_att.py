@@ -24,6 +24,8 @@ def main(argv=None):
     p.add_argument("--input-att-dir", default="data/cocobu_att")
     p.add_argument("-I", "--dataset", default="coco")
     p.add_argument("-E", "--shared-embedding", type=int, default=0)
+    p.add_argument("--set", action="append", default=[],
+                   metavar="K=V", help="Options override, e.g. --set rnn_size=64 (repeatable)")
     args = p.parse_args(argv)
 
     from cooperativeimagecaptioning_tpu.config import Options
@@ -43,6 +45,8 @@ def main(argv=None):
         learning_rate_decay_start=0, learning_rate_decay_every=15,
         scheduled_sampling_start=0,
         save_checkpoint_every=3000, val_images_use=5000)
+    from cooperativeimagecaptioning_tpu.config import parse_set_overrides
+    opt = opt.replace(**parse_set_overrides(args.set))
     train(opt)
 
 

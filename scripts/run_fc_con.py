@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--input-fc-dir", default="data/cocotalk_fc")
     p.add_argument("--input-att-dir", default="data/cocotalk_att")
     p.add_argument("-I", "--dataset", default="coco")
+    p.add_argument("--set", action="append", default=[],
+                   metavar="K=V", help="Options override, e.g. --set rnn_size=64 (repeatable)")
     args = p.parse_args(argv)
 
     from cooperativeimagecaptioning_tpu.config import Options
@@ -41,6 +43,8 @@ def main(argv=None):
         learning_rate_decay_start=0, learning_rate_decay_every=15,
         scheduled_sampling_start=0,
         save_checkpoint_every=3000, val_images_use=5000)
+    from cooperativeimagecaptioning_tpu.config import parse_set_overrides
+    opt = opt.replace(**parse_set_overrides(args.set))
     train(opt)
 
 

@@ -128,6 +128,8 @@ def main(argv=None):
     p.add_argument("--input-att-dir", default="data/cocobu_att")
     p.add_argument("--speaker-stage-2-model", default="")
     p.add_argument("--listener-stage-1-model", default="")
+    p.add_argument("--set", action="append", default=[],
+                   metavar="K=V", help="Options override, e.g. --set rnn_size=64 (repeatable)")
     args = p.parse_args(argv)
 
     from cooperativeimagecaptioning_tpu.config import Options
@@ -155,6 +157,8 @@ def main(argv=None):
         listener_stage_1_model_path=args.listener_stage_1_model,
         initialize_retrieval=args.listener_stage_1_model or None,
         **ov)
+    from cooperativeimagecaptioning_tpu.config import parse_set_overrides
+    opt = opt.replace(**parse_set_overrides(args.set))
     train(opt)
     from cooperativeimagecaptioning_tpu.evaluation import harvest
     harvest.create_dicts_and_json_after_training(opt)

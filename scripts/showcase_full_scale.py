@@ -81,19 +81,31 @@ def write_df_pickle(ds, name="synthtalk"):
     return name
 
 
-def run_stage(tag, opt, ds, iters, log_every=200):
+def run_stage(tag, opt, ds, iters, relative=False):
+    """relative=True runs `iters` MORE iterations on top of a resumed
+    counter (the joint stage inherits stage-2's iteration via the
+    copy_model seeding, reference semantics)."""
     from cooperativeimagecaptioning_tpu.training.loop import Trainer
     tr = Trainer(opt, dataset=ds, verbose=False)
-    print(f"[{tag}] starting: {iters} iterations", flush=True)
+    if relative:
+        iters = tr.iteration + iters
+    print(f"[{tag}] starting at iter {tr.iteration}, target {iters}",
+          flush=True)
     t_start = time.time()
     t_lap, lap_iter0 = t_start, tr.iteration
     compiled_at = None
     traj = []
     while tr.iteration < iters:
         loss_dict, turn, _ = tr.train_iteration()
+        if compiled_at is None or tr.iteration % 100 == 0:
+            # host sync: bounds the async dispatch queue (an unsynced loop
+            # can enqueue thousands of steps ahead of the device)
+            float(loss_dict["loss"])
         if compiled_at is None:
             compiled_at = time.time()  # first step done = compile paid
             t_lap, lap_iter0 = compiled_at, tr.iteration
+            print(f"[{tag}] first step done ({compiled_at - t_start:.0f}s "
+                  f"compile+transfer)", flush=True)
         if tr.iteration % opt.save_checkpoint_every == 0:
             tr.checkpoint_operations()
             now = time.time()
@@ -167,7 +179,7 @@ def main(argv=None):
     common = dict(batch_size=args.batch, language_eval=1,
                   save_checkpoint_every=args.eval_every,
                   val_images_use=n_val, losses_log_every=100,
-                  max_epochs=-1, **FULL_DIMS)
+                  max_epochs=-1, device_feature_cache=1, **FULL_DIMS)
     results = {"dims": dict(vocab=VOCAB, seq=SEQ_LEN, batch=args.batch,
                             images=args.images, **FULL_DIMS)}
 
@@ -179,7 +191,9 @@ def main(argv=None):
                    caption_loss_weight=0, rank_eval=1, seq_per_img=5,
                    learning_rate=5e-4, learning_rate_decay_start=0,
                    learning_rate_decay_every=15, scheduled_sampling_start=0,
-                   checkpoint_path=s1, **{**common, "language_eval": 0})
+                   checkpoint_path=s1,
+                   start_from=s1 if os.listdir(s1) else None,
+                   **{**common, "language_eval": 0})
     results["stage1_listener"] = run_stage("stage1", opt1, ds,
                                            args.listener_iters)
 
@@ -190,7 +204,8 @@ def main(argv=None):
                    caption_loss_weight=1, retrieval_reward_weight=0,
                    rank_eval=0, seq_per_img=5, learning_rate=5e-4,
                    learning_rate_decay_start=0, scheduled_sampling_start=0,
-                   checkpoint_path=s2, **common)
+                   checkpoint_path=s2,
+                   start_from=s2 if os.listdir(s2) else None, **common)
     results["stage2_mle"] = run_stage("stage2", opt2, ds, args.mle_iters)
 
     # stage 3 — joint cooperative (scripts/run_joint.py gumbel flag-set,
@@ -200,8 +215,12 @@ def main(argv=None):
     os.makedirs(s3, exist_ok=True)
     s2_model = os.path.join(s2, "model-best.pth")
     s1_model = os.path.join(s1, "model-best.pth")
+    # copy_model.sh seeding: the joint run RESUMES from the stage-2 speaker
+    # checkpoint (params + infos + Adam state), reference protocol
+    from scripts.run_joint import seed_checkpoint_dir
+    seed_checkpoint_dir(s3, s2_model, "att_d0.01")
     opt3 = Options(
-        id="att_d0.01", phase=3, is_alternating=1,
+        start_from=s3, id="att_d0.01", phase=3, is_alternating=1,
         alternating_turn=["speaker", "listener"],
         retrieval_reward="gumbel", retrieval_reward_weight=0.01,
         cider_optimization=0.99, caption_loss_weight=0, vse_loss_weight=0,
@@ -214,7 +233,8 @@ def main(argv=None):
         speaker_stage_2_optimizer_path=os.path.join(s2, "optimizer.pth"),
         initialize_retrieval=s1_model,
         **common)
-    results["stage3_joint"] = run_stage("stage3", opt3, ds, args.joint_iters)
+    results["stage3_joint"] = run_stage("stage3", opt3, ds, args.joint_iters,
+                                        relative=True)
 
     harvest.create_dicts_and_json_after_training(opt3, dataset=ds)
     results["harvest"] = sorted(os.listdir(s3))[:40]

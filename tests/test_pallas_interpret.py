@@ -334,3 +334,15 @@ def test_sharded_greedy_head_zero_grads_in_grad_graph(mesh42):
                                    atol=1e-5)
     finally:
         _dispatch.set_vocab_mesh(None)
+
+
+def test_att_block_picker_scales_with_dtype_width():
+    """f32 att features (default-precision eval decode) must halve the batch
+    block vs the bf16-calibrated sweet spot — the bf16 block scoped-VMEM-OOMs
+    at outer-jit compile time on real TPU (B=640, K=36, H=A=512: 20MB vs the
+    16MB limit)."""
+    assert att_step._pick_block_b(640, 36, 512, 512, 64, itemsize=2) == 64
+    assert att_step._pick_block_b(640, 36, 512, 512, 64, itemsize=4) == 32
+    assert att_step._pick_block_b(8192, 36, 512, 512, 64, itemsize=1) == 64
+    # K scaling unchanged (the K=100 lesson)
+    assert att_step._pick_block_b(8192, 100, 512, 512, 64, itemsize=2) <= 32

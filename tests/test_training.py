@@ -434,3 +434,24 @@ def test_listener_optimizer_seeds_from_initialize_retrieval(tmp_path):
                   for a, b in zip(want, fresh))
     assert matched < len(want)
     trs.close()
+
+
+def test_device_feature_cache_matches_streaming():
+    """--device_feature_cache gathers fc/att from an HBM-resident cache by
+    batch index instead of streaming features from host; the training math
+    must be identical to the streaming path (masked attention makes the
+    different padding widths exact no-ops)."""
+    losses = {}
+    for cache in (0, 1):
+        # max_att_len pins both paths to the same padded K: without it the
+        # streaming path pads to the batch max and the cache to the dataset
+        # max, which is mathematically identical but float-reassociates
+        opt = tiny_opt(phase=2, caption_loss_weight=1, vse_loss_weight=0,
+                       device_feature_cache=cache, max_att_len=6)
+        tr, ld = run_iters(opt, n=3)
+        losses[cache] = [float(d["loss"]) for d in ld]
+        if cache:
+            assert tr._feat_cache is not None
+            assert "train" in tr.loader.feature_free_splits
+        tr.close()
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-7)
