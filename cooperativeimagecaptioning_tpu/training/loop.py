@@ -154,7 +154,17 @@ class Trainer:
         # bottleneck through the tunnel); opt-in, for datasets that fit HBM
         self._feat_cache = None
         if getattr(opt, "device_feature_cache", 0):
-            self._feat_cache = self._build_feature_cache()
+            # cache rides the dataset object so multi-stage protocols
+            # sharing one dataset (scripts/showcase_full_scale.py,
+            # reproduce_coco) transfer the features once per process
+            ds = self.loader.ds
+            self._feat_cache = getattr(ds, "_device_feat_cache", None)
+            if self._feat_cache is None:
+                self._feat_cache = self._build_feature_cache()
+                try:
+                    ds._device_feat_cache = self._feat_cache
+                except AttributeError:
+                    pass
             self.loader.set_feature_free("train")
         self._update_schedules()
 

@@ -85,8 +85,13 @@ def run_stage(tag, opt, ds, iters, relative=False):
     """relative=True runs `iters` MORE iterations on top of a resumed
     counter (the joint stage inherits stage-2's iteration via the
     copy_model seeding, reference semantics)."""
+    import faulthandler
+    faulthandler.dump_traceback_later(600, repeat=True)  # stall diagnostics
     from cooperativeimagecaptioning_tpu.training.loop import Trainer
+    print(f"[{tag}] constructing Trainer (resume="
+          f"{bool(opt.start_from)})", flush=True)
     tr = Trainer(opt, dataset=ds, verbose=False)
+    faulthandler.cancel_dump_traceback_later()
     if relative:
         iters = tr.iteration + iters
     print(f"[{tag}] starting at iter {tr.iteration}, target {iters}",

@@ -455,3 +455,16 @@ def test_device_feature_cache_matches_streaming():
             assert "train" in tr.loader.feature_free_splits
         tr.close()
     np.testing.assert_allclose(losses[1], losses[0], rtol=1e-7)
+
+
+def test_put_chunked_matches_single_transfer():
+    """Chunked host->device upload (bounded RPCs through thin links) must
+    reproduce the array exactly, including the non-divisible tail."""
+    opt = tiny_opt()
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    arr = np.arange(7 * 3 * 5, dtype=np.float32).reshape(7, 3, 5)
+    out = tr._put_chunked(arr, chunk_bytes=2 * arr[0].nbytes)  # 4 chunks
+    np.testing.assert_array_equal(np.asarray(out), arr)
+    out1 = tr._put_chunked(arr)  # single-transfer path
+    np.testing.assert_array_equal(np.asarray(out1), arr)
+    tr.close()
