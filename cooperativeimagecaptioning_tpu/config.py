@@ -155,6 +155,10 @@ _FLAGS = [
                                      "host->device feature stream, the "
                                      "full-dim protocol's bottleneck through "
                                      "the tunnel)"),
+    ("feature_cache_dtype", str, "f32", "storage dtype of the HBM att-feature "
+                                        "cache: f32 | bf16 (halves HBM; "
+                                        "batches are cast back to f32 after "
+                                        "the device gather)"),
     ("meteor_data_dir", str, "", "dir with the METEOR 1.5 jar's data files "
                                  "(function.words / synonyms.txt / "
                                  "paraphrase-en.gz); activates the synonym + "

@@ -175,9 +175,15 @@ class SyntheticDataset:
             # BOTH feature views carry the caption signal — the fc-based
             # listener would otherwise face unlearnable retrieval
             self._fc = np.stack([a.mean(0) for a in self._att])
-        w1 = (rng.randn(self._att[0].shape[1], hid) /
-              np.sqrt(self._att[0].shape[1])).astype(np.float32)
-        pos = (0.5 * rng.randn(L, hid)).astype(np.float32)
+        # scale: mean-pooling divides feature variance by K, so the teacher
+        # bottleneck re-standardizes (x sqrt(K̄)) — otherwise the positional
+        # term drowns the image signal, captions barely differ across images,
+        # and retrieval/CIDEr on the derived data are unlearnable (measured:
+        # chance-level rsum at full scale)
+        k_mean = float(np.mean([a.shape[0] for a in self._att]))
+        w1 = (rng.randn(self._att[0].shape[1], hid) *
+              np.sqrt(k_mean / self._att[0].shape[1])).astype(np.float32)
+        pos = (0.25 * rng.randn(L, hid)).astype(np.float32)
         w2 = (rng.randn(hid, V) / np.sqrt(hid)).astype(np.float32)
         top_p = np.array([0.7, 0.2, 0.1])
         for ix in range(len(self._att)):

@@ -159,8 +159,12 @@ class Trainer:
             # reproduce_coco) transfer the features once per process
             ds = self.loader.ds
             self._feat_cache = getattr(ds, "_device_feat_cache", None)
-            if self._feat_cache is None:
-                self._feat_cache = self._build_feature_cache()
+            if self._feat_cache is None or (
+                    opt.use_att and "att" not in self._feat_cache):
+                # a phase-1 (fc+fc) stage builds a fc-only cache; extend it
+                # with the att block when a later stage's model needs it
+                self._feat_cache = self._build_feature_cache(
+                    base=self._feat_cache)
                 try:
                     ds._device_feat_cache = self._feat_cache
                 except AttributeError:
@@ -169,32 +173,52 @@ class Trainer:
         self._update_schedules()
 
     def _put_chunked(self, arr, chunk_bytes=64 << 20):
-        """Host->device in bounded chunks + one on-device concatenate: a
-        single GB-sized device_put is one giant RPC that remote/tunneled
-        backends can drop (observed wedging the axon tunnel)."""
+        """Host->device in bounded chunks, written into one preallocated
+        buffer via donated dynamic_update_slice: a single GB-sized device_put
+        is one giant RPC that remote/tunneled backends can drop (observed
+        wedging the axon tunnel), and chunks + on-device concatenate peaks at
+        2x the array (observed HBM OOM at the 20k-image full-dim cache).
+        In-place donation keeps the peak at N + one chunk."""
         rows = max(1, chunk_bytes // max(1, arr[0].nbytes))
         if len(arr) <= rows:
             return jnp.asarray(arr)
-        parts = [jnp.asarray(arr[i: i + rows])
-                 for i in range(0, len(arr), rows)]
-        return jnp.concatenate(parts, axis=0)
+        upd = jax.jit(
+            lambda buf, part, start: jax.lax.dynamic_update_slice_in_dim(
+                buf, part, start, 0),
+            donate_argnums=(0,))
+        buf = jnp.zeros(arr.shape, arr.dtype)
+        for i in range(0, len(arr), rows):
+            buf = upd(buf, jnp.asarray(arr[i: i + rows]), i)
+        return buf
 
-    def _build_feature_cache(self):
+    def _build_feature_cache(self, base=None):
         ds = self.loader.ds
         N = ds.num_images()
-        fc = np.stack([np.asarray(ds.get_fc(ix), np.float32)
-                       for ix in range(N)])
-        cache = {"fc": self._put_chunked(fc)}
-        if self.opt.use_att:
+        if base is not None and "fc" in base:
+            cache = dict(base)
+        else:
+            fc = np.stack([np.asarray(ds.get_fc(ix), np.float32)
+                           for ix in range(N)])
+            cache = {"fc": self._put_chunked(fc)}
+        if self.opt.use_att and "att" not in cache:
+            # storage dtype: bf16 halves both the HBM residency and the
+            # (slow, tunneled) host->device transfer; gathered batches are
+            # cast back to f32 in _prepare_batch
+            if self.opt.feature_cache_dtype == "bf16":
+                import ml_dtypes
+                store = np.dtype(ml_dtypes.bfloat16)
+            else:
+                store = np.dtype(np.float32)
             atts = [np.asarray(ds.get_att(ix), np.float32) for ix in range(N)]
             K = max(a.shape[0] for a in atts)
             if self.loader.max_att_len:
                 K = max(K, self.loader.max_att_len)
-            att = np.zeros((N, K, atts[0].shape[1]), np.float32)
+            att = np.zeros((N, K, atts[0].shape[1]), store)
             mask = np.zeros((N, K), np.float32)
             for i, a in enumerate(atts):
-                att[i, : a.shape[0]] = a
+                att[i, : a.shape[0]] = a.astype(store)
                 mask[i, : a.shape[0]] = 1
+            del atts
             cache["att"] = self._put_chunked(att)
             cache["att_mask"] = jnp.asarray(mask)
         jax.block_until_ready(cache)
@@ -257,7 +281,7 @@ class Trainer:
             batch["fc_feats"] = jnp.take(self._feat_cache["fc"], idx, axis=0)
             if opt.use_att and "att" in self._feat_cache:
                 batch["att_feats"] = jnp.take(
-                    self._feat_cache["att"], idx, axis=0)
+                    self._feat_cache["att"], idx, axis=0).astype(jnp.float32)
                 batch["att_masks"] = jnp.take(
                     self._feat_cache["att_mask"], idx, axis=0)
         if joint.needs_device_refs(opt) and joint._cider_active(

@@ -10,6 +10,12 @@ image's attention features, data/sources.py SyntheticDataset(derived=True))
 so there is a real mapping to LEARN, not just memorize, and intra-image
 n-gram overlap keeps CIDEr meaningful at the 9487-word vocabulary.
 
+The default 20k images keeps the train split (12k) well above the 2048-dim
+feature space: below that, a linear VSE image encoder can interpolate an
+arbitrary image->embedding hash and retrieval memorizes instead of
+generalizing (measured at 5k images: train r@1 1.00, val r@1 at chance).
+COCO itself avoids this with 110k train images.
+
 Stages (flag-sets mirror scripts/run_fc_con.py / run_att.py / run_joint.py):
   1. phase-1 listener (VSE) pretrain on GT captions
   2. phase-2 speaker MLE to convergence (val XE tracked per checkpoint eval)
@@ -163,8 +169,9 @@ def _rsum(v):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--images", type=int, default=5000)
+    p.add_argument("--images", type=int, default=20000)
     p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--val-images-use", type=int, default=1000)
     p.add_argument("--listener-iters", type=int, default=1000)
     p.add_argument("--mle-iters", type=int, default=6000)
     p.add_argument("--joint-iters", type=int, default=3000)
@@ -183,8 +190,10 @@ def main(argv=None):
     n_val = sum(1 for im in ds.info["images"] if im["split"] == "val")
     common = dict(batch_size=args.batch, language_eval=1,
                   save_checkpoint_every=args.eval_every,
-                  val_images_use=n_val, losses_log_every=100,
-                  max_epochs=-1, device_feature_cache=1, **FULL_DIMS)
+                  val_images_use=min(n_val, args.val_images_use),
+                  losses_log_every=100,
+                  max_epochs=-1, device_feature_cache=1,
+                  feature_cache_dtype="bf16", **FULL_DIMS)
     results = {"dims": dict(vocab=VOCAB, seq=SEQ_LEN, batch=args.batch,
                             images=args.images, **FULL_DIMS)}
 
@@ -192,13 +201,24 @@ def main(argv=None):
     # listener is the fc model regardless of the speaker family)
     s1 = os.path.join(args.workdir, "log_fc_con")
     os.makedirs(s1, exist_ok=True)
+    # vse_max_violation=0 (mean violation; reference flag opts.py:202): with
+    # seq_per_img=5 every image appears 5x per 640-row batch and the
+    # max-violation hinge's hardest negative is almost always a duplicate
+    # (exactly-margin cost, zero gradient) — measured full text-encoder
+    # collapse to the B*2*margin loss floor at these dims (pairwise caption
+    # cosine 0.80, chance rsum).  Mean violation is the VSE++ large-batch
+    # warm-up remedy and trains cleanly here.
     opt1 = Options(id="fc_con", phase=1, vse_loss_weight=1,
                    caption_loss_weight=0, rank_eval=1, seq_per_img=5,
+                   vse_max_violation=0,
                    learning_rate=5e-4, learning_rate_decay_start=0,
                    learning_rate_decay_every=15, scheduled_sampling_start=0,
                    checkpoint_path=s1,
                    start_from=s1 if os.listdir(s1) else None,
-                   **{**common, "language_eval": 0})
+                   # run_fc_con.sh trains phase 1 with the FC caption model
+                   # (use_att=False) — the fc-only feature cache keeps stage
+                   # 1's HBM footprint at N*2048*4 bytes
+                   **{**common, "language_eval": 0, "caption_model": "fc"})
     results["stage1_listener"] = run_stage("stage1", opt1, ds,
                                            args.listener_iters)
 

