@@ -148,13 +148,14 @@ _FLAGS = [
                                        "orbax (async atomic writes, restores "
                                        "honor live shardings)"),
     ("prefetch_batches", int, 2, "host-side prefetch depth"),
-    ("device_feature_cache", int, 0, "keep the TRAIN split's fc/att features "
-                                     "HBM-resident and gather batches on "
-                                     "device by index (for datasets that fit "
-                                     "device memory; removes the per-step "
-                                     "host->device feature stream, the "
-                                     "full-dim protocol's bottleneck through "
-                                     "the tunnel)"),
+    ("device_feature_cache", int, 0, "keep ALL images' fc/att features "
+                                     "HBM-resident (gathers use global image "
+                                     "index, so train+val+test are cached; "
+                                     "size accordingly) and gather train "
+                                     "batches on device by index — removes "
+                                     "the per-step host->device feature "
+                                     "stream, the full-dim protocol's "
+                                     "bottleneck through the tunnel"),
     ("feature_cache_dtype", str, "f32", "storage dtype of the HBM att-feature "
                                         "cache: f32 | bf16 (halves HBM; "
                                         "batches are cast back to f32 after "
@@ -198,9 +199,7 @@ class Options(argparse.Namespace):
                 raise AttributeError(f"unknown option {k!r}")
             setattr(self, k, v)
         self.current_lr = self.learning_rate
-        if self.meteor_data_dir:
-            # metrics/meteor.py default_resources() reads this env once
-            os.environ["CIC_METEOR_DATA"] = self.meteor_data_dir
+        _export_env(self)
 
     def replace(self, **overrides) -> "Options":
         new = copy.deepcopy(self)
@@ -208,7 +207,18 @@ class Options(argparse.Namespace):
             if not hasattr(new, k):  # same strictness as __init__
                 raise AttributeError(f"unknown option {k!r}")
             setattr(new, k, v)
+        _export_env(new)
         return new
+
+
+def _export_env(opt) -> None:
+    """Flag side-effects that ride process env. Called from EVERY Options
+    construction path (__init__ kwargs, replace(), parse_opt) — the CLI path
+    setattr's parsed flags onto a default Options, so an __init__-only export
+    silently misses `train.py --meteor_data_dir ...`."""
+    if getattr(opt, "meteor_data_dir", ""):
+        # metrics/meteor.py default_resources() reads this env once
+        os.environ["CIC_METEOR_DATA"] = opt.meteor_data_dir
 
 
 def parse_set_overrides(pairs):
@@ -268,6 +278,7 @@ def parse_opt(argv=None) -> Options:
     for k, v in vars(args).items():
         setattr(opt, k, v)
     opt.current_lr = opt.learning_rate
+    _export_env(opt)
     validate(opt)
     return opt
 

@@ -178,29 +178,35 @@ class DataLoader:
             return (np.zeros((1,), np.float32), np.zeros((1, 1), np.float32),
                     seq, ix, wrapped)
         fc = self.ds.get_fc(ix) if self.use_fc else np.zeros((1,), np.float32)
-        if self.use_att:
-            att = self.ds.get_att(ix)
-            if getattr(self.opt, "norm_att_feat", 0):
-                # L2-normalize region features (ref: dataloader.py:263-264)
-                att = att / np.linalg.norm(att, 2, 1, keepdims=True)
-            if getattr(self.opt, "use_box", 0) and hasattr(self.ds, "get_box"):
-                # append normalized box geometry (ref: dataloader.py:265-275)
-                box = self.ds.get_box(ix)
-                img = self.ds.info["images"][ix]
-                h, w = img["height"], img["width"]
-                x1, y1, x2, y2 = np.hsplit(box, 4)
-                box_feat = np.hstack(
-                    (x1 / w, y1 / h, x2 / w, y2 / h,
-                     (x2 - x1) * (y2 - y1) / (w * h)))
-                if getattr(self.opt, "norm_box_feat", 0):
-                    box_feat = box_feat / np.linalg.norm(
-                        box_feat, 2, 1, keepdims=True)
-                att = np.hstack([att, box_feat])
-                att = np.stack(sorted(att, key=lambda x: x[-1], reverse=True))
-        else:
-            att = np.zeros((1, 1), np.float32)
+        att = self.get_transformed_att(ix) if self.use_att \
+            else np.zeros((1, 1), np.float32)
         seq = self._get_captions(ix) if self.ds.label is not None else None
         return fc, att, seq, ix, wrapped
+
+    def get_transformed_att(self, ix):
+        """Per-image att features with ALL opt-gated transforms applied —
+        the single source both the streaming path and the HBM feature cache
+        must use, or --norm_att_feat/--use_box would silently train on
+        differently scaled features than eval."""
+        att = self.ds.get_att(ix)
+        if getattr(self.opt, "norm_att_feat", 0):
+            # L2-normalize region features (ref: dataloader.py:263-264)
+            att = att / np.linalg.norm(att, 2, 1, keepdims=True)
+        if getattr(self.opt, "use_box", 0) and hasattr(self.ds, "get_box"):
+            # append normalized box geometry (ref: dataloader.py:265-275)
+            box = self.ds.get_box(ix)
+            img = self.ds.info["images"][ix]
+            h, w = img["height"], img["width"]
+            x1, y1, x2, y2 = np.hsplit(box, 4)
+            box_feat = np.hstack(
+                (x1 / w, y1 / h, x2 / w, y2 / h,
+                 (x2 - x1) * (y2 - y1) / (w * h)))
+            if getattr(self.opt, "norm_box_feat", 0):
+                box_feat = box_feat / np.linalg.norm(
+                    box_feat, 2, 1, keepdims=True)
+            att = np.hstack([att, box_feat])
+            att = np.stack(sorted(att, key=lambda x: x[-1], reverse=True))
+        return att
 
     def _assemble(self, items, split):
         """ref: dataloader.py:171-245."""

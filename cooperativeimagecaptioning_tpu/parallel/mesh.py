@@ -36,29 +36,42 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, sharding)
 
 
+# batch keys that are per-run CONSTANTS, not per-step data: always replicated
+# (a df_table's power-of-2 leading dim usually divides the data axis, so the
+# divisibility rule alone would shard it)
+_REPLICATED_KEYS = frozenset({"df_table"})
+
+
 def shard_batch(batch, mesh: Mesh):
     """Shard every array's leading (batch) axis over 'data'.
 
     Leaves whose leading dim does not divide the axis (e.g. per-IMAGE reward
     refs [n_img, R, L] next to per-SEQUENCE rows [n_img*seq_per_img, ...])
-    are replicated instead — GSPMD broadcasts them inside the step.
+    and `_REPLICATED_KEYS` constants are replicated instead — GSPMD
+    broadcasts them inside the step.  A leaf already committed WITH its
+    intended sharding passes through untouched (no per-step re-device_put);
+    a committed leaf with a different sharding is still re-placed — e.g. the
+    HBM feature cache's gathered batches come out committed-replicated, and
+    leaving them replicated would defeat the data axis entirely (each chip
+    holding + computing the full global batch).
     """
     n_data = mesh.shape.get("data", 1)
     sharded = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
 
-    def put(x):
+    def put(path, x):
         if x is None:
             return None
-        if isinstance(x, jax.Array) and x.committed:
-            # the caller already placed this leaf deliberately (e.g. a
-            # replicated df_table whose power-of-2 leading dim happens to
-            # divide the data axis) — re-device_put would override that intent
-            # and pay a reshard transfer every step
+        key = getattr(path[-1], "key", None) if path else None
+        ok = (key not in _REPLICATED_KEYS and np.ndim(x) > 0
+              and x.shape[0] % n_data == 0)
+        want = sharded if ok else replicated
+        if isinstance(x, jax.Array) and x.committed and \
+                x.sharding.is_equivalent_to(want, x.ndim):
             return x
-        ok = np.ndim(x) > 0 and x.shape[0] % n_data == 0
-        return jax.device_put(x, sharded if ok else replicated)
-    return jax.tree.map(put, batch, is_leaf=lambda x: x is None)
+        return jax.device_put(x, want)
+    return jax.tree_util.tree_map_with_path(
+        put, batch, is_leaf=lambda x: x is None)
 
 
 def _speaker_rules(path):

@@ -209,7 +209,8 @@ class Trainer:
                 store = np.dtype(ml_dtypes.bfloat16)
             else:
                 store = np.dtype(np.float32)
-            atts = [np.asarray(ds.get_att(ix), np.float32) for ix in range(N)]
+            atts = [np.asarray(self.loader.get_transformed_att(ix), np.float32)
+                    for ix in range(N)]
             K = max(a.shape[0] for a in atts)
             if self.loader.max_att_len:
                 K = max(K, self.loader.max_att_len)

@@ -144,6 +144,9 @@ def main(argv=None):
 
     # 1. labels
     if not (os.path.isfile(talk_json) and os.path.isfile(label_h5)):
+        if not args.raw_json:
+            sys.exit(f"missing {label_h5} and no --raw-json to build it "
+                     f"from (dataset_coco.json)\n" + DOWNLOAD_HINTS)
         from cooperativeimagecaptioning_tpu.preprocess import labels
         print("[prepro] labels ->", talk_json, flush=True)
         labels.main(["--input_json", args.raw_json,
@@ -152,6 +155,9 @@ def main(argv=None):
     # 2. ngram document frequencies
     idxs_p = os.path.join(data, "coco-train-idxs.p")
     if not os.path.isfile(idxs_p):
+        if not args.raw_json:
+            sys.exit(f"missing {idxs_p} and no --raw-json to build it "
+                     f"from (dataset_coco.json)\n" + DOWNLOAD_HINTS)
         from cooperativeimagecaptioning_tpu.preprocess import ngrams
         print("[prepro] ngrams ->", idxs_p, flush=True)
         ngrams.main(["--input_json", args.raw_json,

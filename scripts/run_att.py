@@ -13,6 +13,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Reference phase-2 flag-set (bash_scripts/run_att.sh:90-108) — the ONE
+# source shared by this driver and scripts/showcase_full_scale.py (stage 2).
+STAGE_FLAGS = dict(
+    id="att", caption_model="att2in2", vse_model="fc", phase=2,
+    vse_loss_weight=0, caption_loss_weight=1, retrieval_reward_weight=0,
+    language_eval=1, rank_eval=0, seq_per_img=1, learning_rate=5e-4,
+    learning_rate_decay_start=0, learning_rate_decay_every=15,
+    scheduled_sampling_start=0)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-b", "--batch", type=int, default=128)
@@ -34,17 +44,13 @@ def main(argv=None):
     ckpt = os.path.join(args.root_dir, "log_att")
     os.makedirs(ckpt, exist_ok=True)
     opt = Options(
-        id="att", caption_model="att2in2", vse_model="fc", phase=2,
-        vse_loss_weight=0, caption_loss_weight=1, retrieval_reward_weight=0,
-        share_embed=args.shared_embedding, language_eval=1, rank_eval=0,
+        share_embed=args.shared_embedding,
         batch_size=args.batch, max_epochs=args.max_epochs,
         checkpoint_path=ckpt, start_from=ckpt if os.listdir(ckpt) else None,
         input_json=args.input_json, input_label_h5=args.input_label_h5,
         input_fc_dir=args.input_fc_dir, input_att_dir=args.input_att_dir,
-        dataset=args.dataset, seq_per_img=5, learning_rate=5e-4,
-        learning_rate_decay_start=0, learning_rate_decay_every=15,
-        scheduled_sampling_start=0,
-        save_checkpoint_every=3000, val_images_use=5000)
+        dataset=args.dataset,
+        save_checkpoint_every=3000, val_images_use=5000, **STAGE_FLAGS)
     from cooperativeimagecaptioning_tpu.config import parse_set_overrides
     opt = opt.replace(**parse_set_overrides(args.set))
     train(opt)

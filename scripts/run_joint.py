@@ -81,12 +81,33 @@ def build_run(args):
     return name, ov
 
 
+def joint_flags(**kw):
+    """build_run() with this driver's own CLI defaults: the one source of the
+    per-mode reference flag-sets (run_joint.sh:140-241), reused by
+    scripts/showcase_full_scale.py (stage 3) so the sets cannot drift.
+    Returns (run_dir_name, opt_overrides)."""
+    defaults = dict(optimization="gumbel", discriminative=0.01,
+                    temperature=1.0, lr=5e-4, decay=0.8, every=15, batch=128,
+                    vse=0, caption=0, reinforce_baseline="gt",
+                    shared_embedding=0, prob=0.25, softmax_cooling=0,
+                    annealing=0, annealing_every=0, max_epochs=350)
+    defaults.update(kw)
+    return build_run(argparse.Namespace(**defaults))
+
+
 def seed_checkpoint_dir(ckpt_path, speaker_model_path, run_id):
     """ref: bash_scripts/copy_model.sh — seed the joint run from the stage-2
     speaker checkpoint and rename infos to the new run id."""
     os.makedirs(ckpt_path, exist_ok=True)
     if speaker_model_path and os.path.isfile(speaker_model_path):
-        dst = os.path.join(ckpt_path, "alternatingModel.pth")
+        # keep the stage-2 artifact NAME (copy_model.sh does `cp -r` of the
+        # whole log_att dir): a fresh seeded run dir must NOT contain
+        # alternatingModel.pth — that file appearing is what makes the
+        # Trainer's bootstrap treat the dir as a mid-joint RESUME and lenient-
+        # merge the checkpoint (including stage-2's untrained listener) over
+        # the stage-1 listener loaded via initialize_retrieval
+        # (ref cascade: AlternatingJointModel.py:131-177)
+        dst = os.path.join(ckpt_path, os.path.basename(speaker_model_path))
         if not os.path.isfile(dst):
             shutil.copy(speaker_model_path, dst)
         src_dir = os.path.dirname(speaker_model_path)

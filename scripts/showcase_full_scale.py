@@ -16,7 +16,8 @@ arbitrary image->embedding hash and retrieval memorizes instead of
 generalizing (measured at 5k images: train r@1 1.00, val r@1 at chance).
 COCO itself avoids this with 110k train images.
 
-Stages (flag-sets mirror scripts/run_fc_con.py / run_att.py / run_joint.py):
+Stages (flag-sets IMPORTED from scripts/run_fc_con.py / run_att.py /
+run_joint.py — one source, no drift):
   1. phase-1 listener (VSE) pretrain on GT captions
   2. phase-2 speaker MLE to convergence (val XE tracked per checkpoint eval)
   3. phase-3 joint gumbel-ST + on-device CIDEr (cached-df DfTable built from
@@ -41,8 +42,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+# model DIMS only — the caption/vse model families come from each stage's
+# shared driver flag-set (scripts/run_{fc_con,att,joint}.py)
 FULL_DIMS = dict(
-    caption_model="att2in2", vse_model="fc",
     rnn_size=512, input_encoding_size=512, att_hid_size=512,
     fc_feat_size=2048, att_feat_size=2048, vse_embed_size=1024,
     drop_prob_lm=0.5, max_att_len=36)
@@ -105,6 +107,7 @@ def run_stage(tag, opt, ds, iters, relative=False):
     t_start = time.time()
     t_lap, lap_iter0 = t_start, tr.iteration
     compiled_at = None
+    last_ckpt = None
     traj = []
     while tr.iteration < iters:
         loss_dict, turn, _ = tr.train_iteration()
@@ -119,6 +122,7 @@ def run_stage(tag, opt, ds, iters, relative=False):
                   f"compile+transfer)", flush=True)
         if tr.iteration % opt.save_checkpoint_every == 0:
             tr.checkpoint_operations()
+            last_ckpt = tr.iteration
             now = time.time()
             it_s = (tr.iteration - lap_iter0) / max(1e-9, now - t_lap)
             t_lap, lap_iter0 = time.time(), tr.iteration
@@ -136,7 +140,8 @@ def run_stage(tag, opt, ds, iters, relative=False):
             print(f"[{tag}] " + " ".join(
                 f"{k}={v}" for k, v in point.items() if v is not None),
                 flush=True)
-    tr.checkpoint_operations()
+    if last_ckpt != tr.iteration:  # don't repeat a just-run full eval
+        tr.checkpoint_operations()
     tr.close()
     total = time.time() - t_start
     steady = traj[-1]["it_per_s"] if traj else None
@@ -197,67 +202,58 @@ def main(argv=None):
     results = {"dims": dict(vocab=VOCAB, seq=SEQ_LEN, batch=args.batch,
                             images=args.images, **FULL_DIMS)}
 
-    # stage 1 — listener pretrain (scripts/run_fc_con.py flag-set; the vse
-    # listener is the fc model regardless of the speaker family)
+    # stage 1 — listener pretrain: the run_fc_con.py flag-set verbatim
+    # (FC caption model => use_att=False, so the feature cache stays fc-only;
+    # seq_per_img keeps the reference default 1 — every batch holds 128
+    # UNIQUE images; seq_per_img>1 additionally saturates the max-violation
+    # hinge, the hardest negative being a duplicate of the positive image).
+    # ONE deviation: vse_max_violation=0 (mean violation; reference flag
+    # opts.py:202) — on the derived synthetic geometry the hardest-negative
+    # hinge does not escape random init (measured: rsum at chance 4.1 after
+    # 2000 iters / 21 epochs, vs 120+ by iter 500 with mean violation), the
+    # known VSE++ warm-up caveat; on real COCO the reference default stands.
+    from scripts.run_fc_con import STAGE_FLAGS as S1_FLAGS
     s1 = os.path.join(args.workdir, "log_fc_con")
     os.makedirs(s1, exist_ok=True)
-    # vse_max_violation=0 (mean violation; reference flag opts.py:202): with
-    # seq_per_img=5 every image appears 5x per 640-row batch and the
-    # max-violation hinge's hardest negative is almost always a duplicate
-    # (exactly-margin cost, zero gradient) — measured full text-encoder
-    # collapse to the B*2*margin loss floor at these dims (pairwise caption
-    # cosine 0.80, chance rsum).  Mean violation is the VSE++ large-batch
-    # warm-up remedy and trains cleanly here.
-    opt1 = Options(id="fc_con", phase=1, vse_loss_weight=1,
-                   caption_loss_weight=0, rank_eval=1, seq_per_img=5,
-                   vse_max_violation=0,
-                   learning_rate=5e-4, learning_rate_decay_start=0,
-                   learning_rate_decay_every=15, scheduled_sampling_start=0,
-                   checkpoint_path=s1,
+    opt1 = Options(checkpoint_path=s1,
                    start_from=s1 if os.listdir(s1) else None,
-                   # run_fc_con.sh trains phase 1 with the FC caption model
-                   # (use_att=False) — the fc-only feature cache keeps stage
-                   # 1's HBM footprint at N*2048*4 bytes
-                   **{**common, "language_eval": 0, "caption_model": "fc"})
+                   **{**S1_FLAGS, **common, "language_eval": 0,
+                      "vse_max_violation": 0})
     results["stage1_listener"] = run_stage("stage1", opt1, ds,
                                            args.listener_iters)
 
-    # stage 2 — speaker MLE (scripts/run_att.py flag-set)
+    # stage 2 — speaker MLE: the run_att.py flag-set verbatim
+    from scripts.run_att import STAGE_FLAGS as S2_FLAGS
     s2 = os.path.join(args.workdir, "log_att")
     os.makedirs(s2, exist_ok=True)
-    opt2 = Options(id="att", phase=2, vse_loss_weight=0,
-                   caption_loss_weight=1, retrieval_reward_weight=0,
-                   rank_eval=0, seq_per_img=5, learning_rate=5e-4,
-                   learning_rate_decay_start=0, scheduled_sampling_start=0,
-                   checkpoint_path=s2,
-                   start_from=s2 if os.listdir(s2) else None, **common)
+    opt2 = Options(checkpoint_path=s2,
+                   start_from=s2 if os.listdir(s2) else None,
+                   **{**S2_FLAGS, **common})
     results["stage2_mle"] = run_stage("stage2", opt2, ds, args.mle_iters)
 
-    # stage 3 — joint cooperative (scripts/run_joint.py gumbel flag-set,
-    # discriminative 0.01 / cider 0.99, seeded from stages 1+2 with both
-    # Adam states; ref bash_scripts/run_joint.sh + copy_model.sh)
+    # stage 3 — joint cooperative: the run_joint.py gumbel flag-set
+    # (discriminative 0.01 / cider 0.99 via joint_flags), seeded from stages
+    # 1+2 with both Adam states (ref run_joint.sh + copy_model.sh)
     s3 = os.path.join(args.workdir, "joint_g")
     os.makedirs(s3, exist_ok=True)
     s2_model = os.path.join(s2, "model-best.pth")
     s1_model = os.path.join(s1, "model-best.pth")
-    # copy_model.sh seeding: the joint run RESUMES from the stage-2 speaker
-    # checkpoint (params + infos + Adam state), reference protocol
-    from scripts.run_joint import seed_checkpoint_dir
+    # copy_model.sh seeding: stage-2 params + infos + Adam carried in; the
+    # fresh run then bootstraps speaker=stage-2, listener=initialize_retrieval
+    from scripts.run_joint import joint_flags, seed_checkpoint_dir
     seed_checkpoint_dir(s3, s2_model, "att_d0.01")
+    _, jf = joint_flags(discriminative=0.01, batch=args.batch, max_epochs=-1)
     opt3 = Options(
-        start_from=s3, id="att_d0.01", phase=3, is_alternating=1,
-        alternating_turn=["speaker", "listener"],
-        retrieval_reward="gumbel", retrieval_reward_weight=0.01,
-        cider_optimization=0.99, caption_loss_weight=0, vse_loss_weight=0,
-        gumbel_temp=1.0, on_device_cider=1, cached_tokens=df_name,
-        seq_per_img=1, learning_rate=5e-4, learning_rate_decay_rate=0.8,
-        learning_rate_decay_start=0, learning_rate_decay_every=15,
+        start_from=s3, id="att_d0.01", phase=3,
+        caption_model="att2in2", vse_model="fc",
+        on_device_cider=1, cached_tokens=df_name,
+        seq_per_img=1, learning_rate_decay_start=0,
         scheduled_sampling_start=0, rank_eval=1, rank_on_gen_captions=True,
         checkpoint_path=s3,
         speaker_stage_2_model_path=s2_model,
         speaker_stage_2_optimizer_path=os.path.join(s2, "optimizer.pth"),
         initialize_retrieval=s1_model,
-        **common)
+        **{**jf, **common})
     results["stage3_joint"] = run_stage("stage3", opt3, ds, args.joint_iters,
                                         relative=True)
 

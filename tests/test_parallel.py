@@ -132,6 +132,12 @@ def test_shard_batch_keeps_committed_leaves():
     out = shard_batch({"x": jnp.zeros((8, 3)), "df_table": df}, mesh)
     assert out["df_table"] is df  # deliberate placement preserved
     assert out["x"].sharding.spec == P("data")
+    # a committed-but-WRONGLY-placed batch leaf (the HBM feature cache's
+    # gathered batches come out committed-replicated) must still be resharded
+    # to P('data') — leaving it replicated would defeat the data axis
+    att = jax.device_put(jnp.zeros((8, 4, 3)), NamedSharding(mesh, P()))
+    out2 = shard_batch({"att_feats": att}, mesh)
+    assert out2["att_feats"].sharding.spec == P("data")
 
 
 @pytest.mark.slow

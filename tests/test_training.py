@@ -496,3 +496,76 @@ def test_feature_cache_bf16_and_cross_stage_extension():
     loss_dict, _, _ = tr2.train_iteration()
     assert np.isfinite(float(loss_dict["loss"]))
     tr2.close()
+
+
+def test_fresh_seeded_joint_keeps_stage1_listener(tmp_path):
+    """copy_model.sh seeding regression: a FRESH joint run dir seeded from the
+    stage-2 checkpoint must bootstrap speaker=stage-2, listener=stage-1
+    (initialize_retrieval) — the copied file must not masquerade as
+    alternatingModel.pth, which would make try_load_model lenient-merge
+    stage-2's untrained listener over the trained one (ref cascade
+    AlternatingJointModel.py:131-177).  A genuine resume (alternatingModel.pth
+    saved by joint training) must override the seeds."""
+    import os
+    from scripts.run_joint import seed_checkpoint_dir
+
+    opt1 = tiny_opt(caption_model="fc", phase=1, vse_loss_weight=1,
+                    caption_loss_weight=0,
+                    checkpoint_path=str(tmp_path / "con"))
+    os.makedirs(opt1.checkpoint_path)
+    ds = tiny_dataset(opt1)
+    tr1 = Trainer(opt1, dataset=ds, verbose=False)
+    for _ in range(2):
+        tr1.train_iteration()
+    tr1.ckpt.save_model(tr1.params)
+    listener_s1 = jax.tree.leaves(tr1.params["listener"])
+    tr1.close()
+
+    opt2 = tiny_opt(phase=2, caption_loss_weight=1, vse_loss_weight=0,
+                    checkpoint_path=str(tmp_path / "att"))
+    os.makedirs(opt2.checkpoint_path)
+    tr2 = Trainer(opt2, dataset=ds, verbose=False)
+    for _ in range(2):
+        tr2.train_iteration()
+    tr2.ckpt.save_model(tr2.params)
+    speaker_s2 = jax.tree.leaves(tr2.params["speaker"])
+    listener_s2 = jax.tree.leaves(tr2.params["listener"])
+    tr2.close()
+
+    s3 = str(tmp_path / "joint")
+    s2_model = os.path.join(opt2.checkpoint_path, "model.pth")
+    seed_checkpoint_dir(s3, s2_model, "att_d0.01")
+    assert not os.path.isfile(os.path.join(s3, "alternatingModel.pth"))
+
+    jopt = tiny_opt(phase=3, is_alternating=1,
+                    alternating_turn=["speaker", "listener"],
+                    retrieval_reward="gumbel", retrieval_reward_weight=0.1,
+                    cider_optimization=0, caption_loss_weight=1,
+                    vse_loss_weight=0.1, checkpoint_path=s3, start_from=s3,
+                    speaker_stage_2_model_path=s2_model,
+                    initialize_retrieval=os.path.join(
+                        opt1.checkpoint_path, "model.pth"))
+    trj = Trainer(jopt, dataset=ds, verbose=False)
+    got_l = jax.tree.leaves(trj.params["listener"])
+    got_s = jax.tree.leaves(trj.params["speaker"])
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(listener_s1, got_l)), \
+        "fresh seeded joint run lost the stage-1 listener"
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(speaker_s2, got_s))
+    # the stage-2 checkpoint's random listener must NOT have won
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(listener_s2, got_l))
+
+    # train one joint turn, save, and resume: alternatingModel.pth now exists
+    # and its (trained) listener must override the stage-1 seed
+    trj.train_iteration()
+    trj.ckpt.save_model(trj.params)
+    assert os.path.isfile(os.path.join(s3, "alternatingModel.pth"))
+    trained_l = jax.tree.leaves(trj.params["listener"])
+    trj.close()
+    trr = Trainer(jopt, dataset=ds, verbose=False)
+    got = jax.tree.leaves(trr.params["listener"])
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(trained_l, got))
+    trr.close()
