@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--input-att-dir", default="data/cocobu_att")
     p.add_argument("-I", "--dataset", default="coco")
     p.add_argument("-E", "--shared-embedding", type=int, default=0)
+    p.add_argument("--listener-stage-1-model", default="",
+                   help="stage-1 model_vse-best.pth: phase 2 carries the "
+                        "trained listener in its checkpoints (ref "
+                        "run_att.sh:102-103 --initialize_retrieval)")
     p.add_argument("--set", action="append", default=[],
                    metavar="K=V", help="Options override, e.g. --set rnn_size=64 (repeatable)")
     args = p.parse_args(argv)
@@ -45,6 +49,7 @@ def main(argv=None):
     os.makedirs(ckpt, exist_ok=True)
     opt = Options(
         share_embed=args.shared_embedding,
+        initialize_retrieval=args.listener_stage_1_model or None,
         batch_size=args.batch, max_epochs=args.max_epochs,
         checkpoint_path=ckpt, start_from=ckpt if os.listdir(ckpt) else None,
         input_json=args.input_json, input_label_h5=args.input_label_h5,

@@ -237,7 +237,11 @@ def main(argv=None):
     s3 = os.path.join(args.workdir, "joint_g")
     os.makedirs(s3, exist_ok=True)
     s2_model = os.path.join(s2, "model-best.pth")
-    s1_model = os.path.join(s1, "model-best.pth")
+    # the reference's drivers hand the joint run the RETRIEVAL-best stage-1
+    # artifact (run_joint.sh:310-311)
+    s1_model = os.path.join(s1, "model_vse-best.pth")
+    if not os.path.isfile(s1_model):
+        s1_model = os.path.join(s1, "model-best.pth")
     # copy_model.sh seeding: stage-2 params + infos + Adam carried in; the
     # fresh run then bootstraps speaker=stage-2, listener=initialize_retrieval
     from scripts.run_joint import joint_flags, seed_checkpoint_dir

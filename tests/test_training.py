@@ -569,3 +569,31 @@ def test_fresh_seeded_joint_keeps_stage1_listener(tmp_path):
     assert all(np.array_equal(np.asarray(a), np.asarray(b))
                for a, b in zip(trained_l, got))
     trr.close()
+
+
+def test_phase2_carries_stage1_listener(tmp_path):
+    """run_att.sh passes --initialize_retrieval (stage-1 model_vse-best) into
+    PHASE 2, so stage-2 checkpoints embed the trained listener — the
+    reference's joint bootstrap depends on this carry (run_att.sh:102-103)."""
+    import os
+    opt1 = tiny_opt(caption_model="fc", phase=1, vse_loss_weight=1,
+                    caption_loss_weight=0,
+                    checkpoint_path=str(tmp_path / "con"))
+    os.makedirs(opt1.checkpoint_path)
+    ds = tiny_dataset(opt1)
+    tr1 = Trainer(opt1, dataset=ds, verbose=False)
+    tr1.train_iteration()
+    tr1.ckpt.save_model(tr1.params)
+    listener_s1 = jax.tree.leaves(tr1.params["listener"])
+    tr1.close()
+
+    opt2 = tiny_opt(phase=2, caption_loss_weight=1, vse_loss_weight=0,
+                    initialize_retrieval=os.path.join(
+                        opt1.checkpoint_path, "model.pth"),
+                    checkpoint_path=str(tmp_path / "att"))
+    os.makedirs(opt2.checkpoint_path)
+    tr2 = Trainer(opt2, dataset=ds, verbose=False)
+    got = jax.tree.leaves(tr2.params["listener"])
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(listener_s1, got))
+    tr2.close()
