@@ -62,8 +62,12 @@ def shard_batch(batch, mesh: Mesh):
     def put(path, x):
         if x is None:
             return None
-        key = getattr(path[-1], "key", None) if path else None
-        ok = (key not in _REPLICATED_KEYS and np.ndim(x) > 0
+        # scan the WHOLE path: a DfTable NamedTuple's leaves end in
+        # GetAttrKey/SequenceKey, so only the dict entry above them carries
+        # the 'df_table' name
+        is_const = any(getattr(p, "key", None) in _REPLICATED_KEYS
+                       for p in path)
+        ok = (not is_const and np.ndim(x) > 0
               and x.shape[0] % n_data == 0)
         want = sharded if ok else replicated
         if isinstance(x, jax.Array) and x.committed and \

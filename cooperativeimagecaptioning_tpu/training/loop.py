@@ -38,33 +38,50 @@ class Trainer:
         infos = self.ckpt.load_infos()
         histories = self.ckpt.load_histories()
 
-        # model params (+ bootstrap cascade).  Order mirrors the reference:
-        # the init-time seeds (stage-2 speaker + stage-1 listener,
-        # AlternatingJointModel.py:131-177) apply FIRST, then the lenient
-        # start_from load (train.py's resume) overrides whatever keys the
-        # checkpoint actually has — so a mid-joint resume keeps the TRAINED
-        # listener instead of re-seeding it from stage 1
+        # model params (+ bootstrap cascade).  Order mirrors the reference's
+        # two branches (AlternatingJointModel.py:131-177):
+        #  alternating — init-time seeds (stage-2 speaker + stage-1 listener
+        #    via initialize_retrieval) apply FIRST, then the lenient
+        #    start_from load overrides whatever keys the checkpoint has: a
+        #    fresh seeded dir holds NO alternatingModel.pth (run_joint.py
+        #    seed_checkpoint_dir keeps the stage-2 name), so the seeds win;
+        #    a mid-joint resume keeps the TRAINED listener.
+        #  non-alternating — load model.pth FIRST (that's how the speaker
+        #    ablations get their seeded stage-2 speaker), THEN overlay the
+        #    initialize_retrieval listener (ref else-branch order).
         seed = rng_seed if rng_seed is not None else getattr(opt, "seed", 123)
         params = joint.init_params(jax.random.PRNGKey(seed), opt)
-        if opt.is_alternating and \
-                getattr(opt, "continue_from_existing_models", True):
-            import os
-            from cooperativeimagecaptioning_tpu.training import checkpoint as ck
-            if opt.speaker_stage_2_model_path and \
-                    os.path.isfile(opt.speaker_stage_2_model_path):
-                params = ck.load_params_into(
-                    params, opt.speaker_stage_2_model_path)
-        if getattr(opt, "initialize_retrieval", None):
+        import os
+        from cooperativeimagecaptioning_tpu.training import checkpoint as ck
+
+        def overlay_listener(params):
             # listener-only init (ref: AlternatingJointModel.py:169-177)
-            import os
-            from cooperativeimagecaptioning_tpu.training import checkpoint as ck
-            if os.path.isfile(opt.initialize_retrieval):
-                loaded = ck.load_params(opt.initialize_retrieval)
+            ir = getattr(opt, "initialize_retrieval", None)
+            if ir and os.path.isfile(ir):
+                loaded = ck.load_params(ir)
                 if "listener" in loaded:
                     params = dict(params)
                     params["listener"] = jax.tree.map(
                         jnp.asarray, loaded["listener"])
-        params, resumed = self.ckpt.try_load_model(params)
+            return params
+
+        if opt.is_alternating:
+            if getattr(opt, "continue_from_existing_models", True) and \
+                    opt.speaker_stage_2_model_path and \
+                    os.path.isfile(opt.speaker_stage_2_model_path):
+                params = ck.load_params_into(
+                    params, opt.speaker_stage_2_model_path)
+            params = overlay_listener(params)
+            params, resumed = self.ckpt.try_load_model(params)
+        else:
+            params, resumed = self.ckpt.try_load_model(params)
+            if not resumed and opt.speaker_stage_2_model_path and \
+                    os.path.isfile(opt.speaker_stage_2_model_path):
+                # non-alternating speaker ablation run whose dir wasn't
+                # seeded with a model.pth copy: seed the speaker directly
+                params = ck.load_params_into(
+                    params, opt.speaker_stage_2_model_path)
+            params = overlay_listener(params)
         # device mesh (TPU-native; the reference is single-GPU,
         # ref train.py:181-185 — SURVEY §2.3). Params are committed to the
         # mesh (replicated, vocab matrices optionally sharded on 'model');
@@ -159,6 +176,16 @@ class Trainer:
             # reproduce_coco) transfer the features once per process
             ds = self.loader.ds
             self._feat_cache = getattr(ds, "_device_feat_cache", None)
+            if self._feat_cache is not None and opt.use_att and \
+                    "att" in self._feat_cache and \
+                    self._feat_cache.get("_att_sig") != self._att_cache_sig():
+                # a previous stage cached att under DIFFERENT opt-gated
+                # transforms (norm_att_feat/use_box/...) or storage dtype —
+                # drop its att block rather than silently train on the other
+                # stage's feature scaling
+                self._feat_cache = {
+                    k: v for k, v in self._feat_cache.items()
+                    if k not in ("att", "att_mask", "_att_sig")}
             if self._feat_cache is None or (
                     opt.use_att and "att" not in self._feat_cache):
                 # a phase-1 (fc+fc) stage builds a fc-only cache; extend it
@@ -191,6 +218,16 @@ class Trainer:
             buf = upd(buf, jnp.asarray(arr[i: i + rows]), i)
         return buf
 
+    def _att_cache_sig(self):
+        """Identity of the att block's content: the opt-gated transforms
+        baked in at build time plus the storage dtype (cross-stage reuse
+        must not serve stage A's scaling to stage B)."""
+        o = self.opt
+        return (int(getattr(o, "norm_att_feat", 0)),
+                int(getattr(o, "use_box", 0)),
+                int(getattr(o, "norm_box_feat", 0)),
+                getattr(o, "feature_cache_dtype", "f32"))
+
     def _build_feature_cache(self, base=None):
         ds = self.loader.ds
         N = ds.num_images()
@@ -222,6 +259,7 @@ class Trainer:
             del atts
             cache["att"] = self._put_chunked(att)
             cache["att_mask"] = jnp.asarray(mask)
+        sig = cache.pop("_att_sig", None)  # keep metadata out of device ops
         jax.block_until_ready(cache)
         if self.verbose:
             gb = sum(x.nbytes for x in jax.tree.leaves(cache)) / 2**30
@@ -229,6 +267,9 @@ class Trainer:
         if self.mesh is not None:
             from cooperativeimagecaptioning_tpu import parallel
             cache = parallel.replicate(cache, self.mesh)
+        if "att" in cache:
+            cache["_att_sig"] = sig if sig is not None \
+                else self._att_cache_sig()
         return cache
 
     # -- schedules -----------------------------------------------------------

@@ -127,10 +127,19 @@ def test_shard_batch_keeps_committed_leaves():
     untouched instead of being re-device_put to P('data') every step."""
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
+    from cooperativeimagecaptioning_tpu.rewards.ngram_device import DfTable
     mesh = make_mesh(n_data=4, n_model=2)
-    df = jax.device_put(jnp.zeros((8, 5)), NamedSharding(mesh, P()))
+    # the REAL df_table shape: a NamedTuple whose leaf paths end in
+    # GetAttrKey/SequenceKey, not the 'df_table' dict key — the constant
+    # detection must scan the whole path
+    df = jax.device_put(
+        DfTable(keys=(jnp.zeros(8, jnp.uint32),),
+                dfs=(jnp.zeros(8, jnp.float32),),
+                ref_len_log=jnp.float32(1.0)),
+        NamedSharding(mesh, P()))
     out = shard_batch({"x": jnp.zeros((8, 3)), "df_table": df}, mesh)
-    assert out["df_table"] is df  # deliberate placement preserved
+    assert out["df_table"].keys[0] is df.keys[0]  # placement preserved
+    assert out["df_table"].dfs[0].sharding.spec == P()
     assert out["x"].sharding.spec == P("data")
     # a committed-but-WRONGLY-placed batch leaf (the HBM feature cache's
     # gathered batches come out committed-replicated) must still be resharded

@@ -597,3 +597,28 @@ def test_phase2_carries_stage1_listener(tmp_path):
     assert all(np.array_equal(np.asarray(a), np.asarray(b))
                for a, b in zip(listener_s1, got))
     tr2.close()
+
+
+def test_feature_cache_invalidated_on_transform_change():
+    """Cross-stage cache reuse is keyed on the att transforms + storage
+    dtype: a later stage with different norm_att_feat (or dtype) must
+    rebuild the att block, not train on the other stage's scaling."""
+    opt_a = tiny_opt(phase=2, caption_loss_weight=1, vse_loss_weight=0,
+                     device_feature_cache=1, max_att_len=6)
+    ds = tiny_dataset(opt_a)
+    tr_a = Trainer(opt_a, dataset=ds, verbose=False)
+    att_a = tr_a._feat_cache["att"]
+    tr_a.close()
+
+    opt_b = opt_a.replace(norm_att_feat=1)
+    tr_b = Trainer(opt_b, dataset=ds, verbose=False)
+    att_b = tr_b._feat_cache["att"]
+    assert att_b is not att_a
+    a = np.asarray(att_a[0, 0]); b = np.asarray(att_b[0, 0])
+    np.testing.assert_allclose(b, a / np.linalg.norm(a), rtol=1e-5)
+    tr_b.close()
+
+    # same transforms again -> reuse without rebuild
+    tr_c = Trainer(opt_b, dataset=ds, verbose=False)
+    assert tr_c._feat_cache["att"] is att_b
+    tr_c.close()
