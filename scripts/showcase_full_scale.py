@@ -51,14 +51,15 @@ FULL_DIMS = dict(
 VOCAB, SEQ_LEN = 9487, 16
 
 
-def build_dataset(num_images):
+def build_dataset(num_images, vocab=VOCAB, seq=SEQ_LEN, dims=None):
     from cooperativeimagecaptioning_tpu.data.sources import SyntheticDataset
+    dims = dims or FULL_DIMS
     t0 = time.time()
     ds = SyntheticDataset(
-        num_images=num_images, vocab_size=VOCAB, seq_length=SEQ_LEN,
-        fc_feat_size=2048, att_feat_size=2048, max_K=36, caps_per_image=5,
-        derived=True, seed=7)
-    print(f"derived dataset: {num_images} images x 5 caps, vocab {VOCAB} "
+        num_images=num_images, vocab_size=vocab, seq_length=seq,
+        fc_feat_size=dims["fc_feat_size"], att_feat_size=dims["att_feat_size"],
+        max_K=dims["max_att_len"], caps_per_image=5, derived=True, seed=7)
+    print(f"derived dataset: {num_images} images x 5 caps, vocab {vocab} "
           f"({time.time() - t0:.0f}s)", flush=True)
     return ds
 
@@ -182,6 +183,11 @@ def main(argv=None):
     p.add_argument("--joint-iters", type=int, default=3000)
     p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--workdir", default="/tmp/cic_showcase_full")
+    p.add_argument("--vocab", type=int, default=VOCAB)
+    p.add_argument("--seq", type=int, default=SEQ_LEN)
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="Options override forwarded to every stage (e.g. "
+                        "--set rnn_size=32 for a reduced-dim smoke run)")
     args = p.parse_args(argv)
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -190,7 +196,11 @@ def main(argv=None):
     from cooperativeimagecaptioning_tpu.config import Options
     from cooperativeimagecaptioning_tpu.evaluation import harvest
 
-    ds = build_dataset(args.images)
+    from cooperativeimagecaptioning_tpu.config import parse_set_overrides
+    dims = dict(FULL_DIMS)
+    overrides = parse_set_overrides(args.set)
+    dims.update({k: v for k, v in overrides.items() if k in dims})
+    ds = build_dataset(args.images, args.vocab, args.seq, dims)
     df_name = write_df_pickle(ds)
     n_val = sum(1 for im in ds.info["images"] if im["split"] == "val")
     common = dict(batch_size=args.batch, language_eval=1,
@@ -198,9 +208,10 @@ def main(argv=None):
                   val_images_use=min(n_val, args.val_images_use),
                   losses_log_every=100,
                   max_epochs=-1, device_feature_cache=1,
-                  feature_cache_dtype="bf16", **FULL_DIMS)
-    results = {"dims": dict(vocab=VOCAB, seq=SEQ_LEN, batch=args.batch,
-                            images=args.images, **FULL_DIMS)}
+                  feature_cache_dtype="bf16", **dims)
+    common.update({k: v for k, v in overrides.items() if k not in dims})
+    results = {"dims": dict(vocab=args.vocab, seq=args.seq, batch=args.batch,
+                            images=args.images, **dims)}
 
     # stage 1 — listener pretrain: the run_fc_con.py flag-set verbatim
     # (FC caption model => use_att=False, so the feature cache stays fc-only;

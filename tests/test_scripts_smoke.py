@@ -60,3 +60,34 @@ def test_run_att_cli(tmp_path, monkeypatch):
         "-b", "4", "--max-epochs", "1", "--root-dir", str(tmp_path / "runs"),
         "--input-json", out_json, "--input-label-h5", out_h5,
         "--input-fc-dir", fc_dir, "--input-att-dir", att_dir])
+
+
+@pytest.mark.slow
+def test_showcase_full_scale_tiny_end_to_end(tmp_path):
+    """The flagship showcase script end-to-end at reduced dims: 3 stages
+    (listener pretrain -> MLE -> joint gumbel + on-device CIDEr with the
+    cached-df pickle) + harvest, exercising the shared driver flag-sets, the
+    copy_model seeding, the cross-stage feature cache, and the results
+    json."""
+    import json as _json
+    import os
+    from scripts import showcase_full_scale as sc
+
+    wd = str(tmp_path / "wd")
+    res = sc.main([
+        "--images", "24", "--batch", "4", "--vocab", "40", "--seq", "8",
+        "--listener-iters", "4", "--mle-iters", "4", "--joint-iters", "4",
+        "--eval-every", "2", "--val-images-use", "4", "--workdir", wd,
+        "--set", "rnn_size=24", "--set", "input_encoding_size=16",
+        "--set", "att_hid_size=12", "--set", "vse_embed_size=16",
+        "--set", "fc_feat_size=20", "--set", "att_feat_size=20",
+        "--set", "max_att_len=5", "--set", "drop_prob_lm=0.1"])
+    assert res["stage1_listener"]["trajectory"]
+    assert res["stage2_mle"]["trajectory"]
+    assert res["stage3_joint"]["trajectory"]
+    for st in ("stage1_listener", "stage2_mle", "stage3_joint"):
+        for pt in res[st]["trajectory"]:
+            assert np.isfinite(pt["loss"])
+    out = _json.load(open(os.path.join(wd, "showcase_full_scale.json")))
+    assert out["dims"]["vocab"] == 40
+    assert any(f.startswith("alternatingModel") for f in out["harvest"])
