@@ -100,7 +100,10 @@ def run_stage(tag, opt, ds, iters, relative=False):
     print(f"[{tag}] constructing Trainer (resume="
           f"{bool(opt.start_from)})", flush=True)
     tr = Trainer(opt, dataset=ds, verbose=False)
-    faulthandler.cancel_dump_traceback_later()
+    # keep the stall watchdog armed through the WHOLE stage: a wedged tunnel
+    # RPC parks every thread in futex/socket wait with no signal (observed
+    # mid-stage-2; CLAUDE.md wedge signature) — the periodic dump shows where
+    faulthandler.dump_traceback_later(900, repeat=True)
     if relative:
         iters = tr.iteration + iters
     print(f"[{tag}] starting at iter {tr.iteration}, target {iters}",
@@ -143,6 +146,7 @@ def run_stage(tag, opt, ds, iters, relative=False):
                 flush=True)
     if last_ckpt != tr.iteration:  # don't repeat a just-run full eval
         tr.checkpoint_operations()
+    faulthandler.cancel_dump_traceback_later()
     tr.close()
     total = time.time() - t_start
     steady = traj[-1]["it_per_s"] if traj else None
