@@ -186,6 +186,8 @@ def main(argv=None):
     p.add_argument("--mle-iters", type=int, default=6000)
     p.add_argument("--joint-iters", type=int, default=3000)
     p.add_argument("--eval-every", type=int, default=500)
+    p.add_argument("--disc-variant", type=int, default=1,
+                   help="also run the D=0.3 cooperative-dynamic joint stage")
     p.add_argument("--workdir", default="/tmp/cic_showcase_full")
     p.add_argument("--vocab", type=int, default=VOCAB)
     p.add_argument("--seq", type=int, default=SEQ_LEN)
@@ -275,6 +277,24 @@ def main(argv=None):
         **{**jf, **common})
     results["stage3_joint"] = run_stage("stage3", opt3, ds, args.joint_iters,
                                         relative=True)
+
+    # stage 3b — cooperative-dynamic variant at a discriminative-heavy
+    # weighting (gumbel D=0.3 / cider 0.7).  On the derived synthetic
+    # geometry SCST's objective (expected SAMPLED CIDEr - greedy) rises
+    # while greedy-decode CIDEr does not track it (per-position-independent
+    # refs make the optimal sampling policy multimodal — measured, see
+    # STATUS), so the paper's headline cooperative signal here is the
+    # LISTENER axis: retrieval of generated captions (rank_on_gen_captions).
+    if args.disc_variant:
+        s3b = os.path.join(args.workdir, "joint_g03")
+        os.makedirs(s3b, exist_ok=True)
+        seed_checkpoint_dir(s3b, s2_model, "att_d0.3")
+        _, jf2 = joint_flags(discriminative=0.3, batch=args.batch,
+                             max_epochs=-1)
+        opt3b = opt3.replace(checkpoint_path=s3b, start_from=s3b,
+                             id="att_d0.3", **jf2)
+        results["stage3_joint_d03"] = run_stage(
+            "stage3b", opt3b, ds, args.joint_iters, relative=True)
 
     harvest.create_dicts_and_json_after_training(opt3, dataset=ds)
     results["harvest"] = sorted(os.listdir(s3))[:40]

@@ -85,7 +85,9 @@ def test_showcase_full_scale_tiny_end_to_end(tmp_path):
     assert res["stage1_listener"]["trajectory"]
     assert res["stage2_mle"]["trajectory"]
     assert res["stage3_joint"]["trajectory"]
-    for st in ("stage1_listener", "stage2_mle", "stage3_joint"):
+    assert res["stage3_joint_d03"]["trajectory"]  # cooperative-dynamic stage
+    for st in ("stage1_listener", "stage2_mle", "stage3_joint",
+               "stage3_joint_d03"):
         for pt in res[st]["trajectory"]:
             assert np.isfinite(pt["loss"])
     out = _json.load(open(os.path.join(wd, "showcase_full_scale.json")))
