@@ -438,6 +438,14 @@ class Trainer:
 
         # iteration/epoch bookkeeping (ref: train.py:229-235)
         self.iteration += 1
+        # loss/lr/ss histories recorded HERE so every driver of
+        # train_iteration (showcase, library users) gets the reference's
+        # histories pkl (ref train.py:238-244), not just self.train().
+        # Values stay device scalars; converted once at checkpoint save.
+        if self.iteration % opt.losses_log_every == 0:
+            self.loss_history[self.iteration] = loss_dict["loss"]
+            self.lr_history[self.iteration] = opt.current_lr
+            self.ss_prob_history[self.iteration] = opt.ss_prob
         if data["bounds"]["wrapped"]:
             self.epoch += 1
             self._update_schedules()
@@ -494,6 +502,8 @@ class Trainer:
                       "best_val_score_vse": self.best_val_score_vse,
                       "opt": self.opt, "vocab": self.loader.get_vocab(),
                       "gumbel_temp": self.gumbel_temp})
+        # device scalars accumulated by train_iteration -> host floats once
+        self.loss_history = {k: float(v) for k, v in self.loss_history.items()}
         histories = self.histories
         histories.update({"val_result_history": self.val_result_history,
                           "loss_history": self.loss_history,
@@ -550,10 +560,6 @@ class Trainer:
                                for k, v in sorted(loss_dict.items()))
                 print(f"iter {self.iteration} (epoch {self.epoch}) [{turn}] "
                       f"{msg} time/batch = {dur:.2f}s")
-            if self.iteration % opt.losses_log_every == 0:
-                self.loss_history[self.iteration] = float(loss_dict["loss"])
-                self.lr_history[self.iteration] = opt.current_lr
-                self.ss_prob_history[self.iteration] = opt.ss_prob
             if self.iteration % opt.save_checkpoint_every == 0 or \
                     opt.start_with_checkpoint:
                 self.checkpoint_operations()

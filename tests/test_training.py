@@ -622,3 +622,26 @@ def test_feature_cache_invalidated_on_transform_change():
     tr_c = Trainer(opt_b, dataset=ds, verbose=False)
     assert tr_c._feat_cache["att"] is att_b
     tr_c.close()
+
+
+def test_histories_recorded_via_train_iteration(tmp_path):
+    """loss/lr/ss histories must be recorded by train_iteration itself (ref
+    train.py:238-244) so showcase/library drivers that bypass Trainer.train()
+    still produce the reference's histories pkl; values are converted to
+    host floats at checkpoint save."""
+    import os, pickle
+    opt = tiny_opt(phase=2, caption_loss_weight=1, vse_loss_weight=0,
+                   losses_log_every=2, save_checkpoint_every=10_000,
+                   checkpoint_path=str(tmp_path / "h"))
+    os.makedirs(opt.checkpoint_path)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    for _ in range(5):
+        tr.train_iteration()
+    assert sorted(tr.loss_history) == [2, 4]
+    assert sorted(tr.lr_history) == [2, 4]
+    tr.checkpoint_operations()
+    tr.close()
+    h = pickle.load(open(os.path.join(
+        opt.checkpoint_path, f"histories_{opt.id}.pkl"), "rb"))
+    assert set(h["loss_history"]) == {2, 4}
+    assert all(isinstance(v, float) for v in h["loss_history"].values())
