@@ -216,7 +216,12 @@ class CheckpointManager:
         states = optim_manager.state_dict()
         for agent in list(states):
             cands = [f"{agent}_optimizer.pth"]
-            if not self.opt.is_alternating:
+            if not self.opt.is_alternating and agent == (
+                    "listener" if self.opt.phase == 1 else "speaker"):
+                # the non-alternating optimizer.pth holds exactly ONE
+                # agent's state — the phase's trained agent (mirrors
+                # save_optimizers); matching it against the other agent
+                # produced a spurious "different structure" warning
                 cands.append("optimizer.pth")
             for name in cands:
                 path = os.path.join(sf, name)
