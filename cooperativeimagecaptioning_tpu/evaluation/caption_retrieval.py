@@ -60,12 +60,16 @@ def gt2gen(cap_embs_generated, cap_embs_gt, caps_per_image=5,
     return stats
 
 
-def split_halves(seqs, masks, batch_lens):
+def split_halves(seqs, masks, batch_lens, shared_lens=None):
     """Reference half-split rule (eval_utils.py:1122-1146): half =
-    min(floor(mean_len / 2), shortest - 1) computed over the batch; returns
+    min(floor(mean_len / 2), shortest - 1) computed over the batch — over
+    shared_lens when given (the reference computes ONE half over the GT and
+    generated groups together, eval_utils.py:1128-1148, so both groups are
+    cut at the same point); returns
     ((first_seqs, first_masks), (second_seqs, second_masks))."""
     lens = np.asarray(batch_lens)
-    half = int(min(np.floor(lens.mean() / 2), lens.min() - 1))
+    hl = np.asarray(shared_lens) if shared_lens is not None else lens
+    half = int(min(np.floor(hl.mean() / 2), hl.min() - 1))
     half = max(half, 1)
     first_s = seqs[:, :half]
     first_m = masks[:, :half]
@@ -114,10 +118,11 @@ def evalrankcap(evaluator, params, loader, eval_kwargs=None,
             gt_lens = masks.sum(1) - 2    # (ref :1154)
             gen_lens = seq_masks.sum(1) - 1
             both = np.concatenate([gt_lens, gen_lens])
-            (gt1, gt1m), (gt2, gt2m) = split_halves(labels, masks, gt_lens)
+            (gt1, gt1m), (gt2, gt2m) = split_halves(labels, masks, gt_lens,
+                                                    shared_lens=both)
             (gn1, gn1m), (gn2, gn2m) = split_halves(gen_seqs, seq_masks,
-                                                    gen_lens)
-            del both
+                                                    gen_lens,
+                                                    shared_lens=both)
             gt_parts.append(((gt1, gt1m), (gt2, gt2m)))
             gen_parts.append(((gn1, gn1m), (gn2, gn2m)))
         else:
@@ -130,6 +135,8 @@ def evalrankcap(evaluator, params, loader, eval_kwargs=None,
         if data["bounds"]["wrapped"] or (0 <= num_images <= n):
             break
     loader.seq_per_img = saved_spi
+    n_img = ix1  # final batch may overshoot/wrap — pools trim to this
+                 # (ref encode_data_cap slices to ix1, eval_utils.py:945-946)
 
     def embed(parts):
         embs = []
@@ -147,8 +154,9 @@ def evalrankcap(evaluator, params, loader, eval_kwargs=None,
         return mm
 
     if not divide_caption:
-        gt_embs = embed(gt_parts)
-        gen_embs = embed(gen_parts)
+        gt_embs = embed(gt_parts)[: n_img * cpi]
+        gen_embs = embed(gen_parts)[:n_img]
+        assert gen_embs.shape[0] == n_img, (gen_embs.shape, n_img)
         m2gt = gen2gt(gen_embs, gt_embs, cpi)
         gt2m = gt2gen(gen_embs, gt_embs, cpi)
         return {"gen2gt_r1": m2gt[0], "gen2gt_r5": m2gt[1],
@@ -160,8 +168,8 @@ def evalrankcap(evaluator, params, loader, eval_kwargs=None,
 
     out = {}
     for hi, half in enumerate(("first", "second")):
-        gt_embs = embed([p[hi] for p in gt_parts])
-        gen_embs = embed([p[hi] for p in gen_parts])
+        gt_embs = embed([p[hi] for p in gt_parts])[: n_img * cpi]
+        gen_embs = embed([p[hi] for p in gen_parts])[:n_img]
         m2gt = gen2gt(gen_embs, gt_embs, cpi)
         gt2m = gt2gen(gen_embs, gt_embs, cpi)
         out[half] = {"gen2gt": m2gt, "gt2gen": gt2m}

@@ -48,6 +48,7 @@ def create_model_metrics(run_dir, run_id=""):
     with open(_histories_path(run_dir, run_id), "rb") as f:
         history = pickle.load(f)
     metrics = {"iteration": [], "cider_score": [], "bleu4": [], "t2i_r10": []}
+    seen = {"cider_score": False, "bleu4": False, "t2i_r10": False}
     for it in sorted(history["val_result_history"].keys()):
         rec = history["val_result_history"][it]
         lang = rec.get("lang_stats") or {}
@@ -56,9 +57,23 @@ def create_model_metrics(run_dir, run_id=""):
         metrics["cider_score"].append(lang.get("CIDEr", 0.0))
         metrics["bleu4"].append(lang.get("Bleu_4", 0.0))
         metrics["t2i_r10"].append(loss.get("t2i_r10", 0.0))
-    best = {"cider": int(np.argmax(metrics["cider_score"])),
-            "bleu4": int(np.argmax(metrics["bleu4"])),
-            "t2i_r10": int(np.argmax(metrics["t2i_r10"]))}
+        seen["cider_score"] |= "CIDEr" in lang
+        seen["bleu4"] |= "Bleu_4" in lang
+        seen["t2i_r10"] |= "t2i_r10" in (loss if isinstance(loss, dict)
+                                         else {})
+    # A criterion whose metric NEVER appeared (language_eval/rank_eval off)
+    # must not select a "best" checkpoint — argmax over all-default zeros
+    # would pick iteration[0] and remove_unnecessary_models would then
+    # delete the genuinely best checkpoints (the reference KeyErrors here,
+    # plots_general_curve.py:304-307; we skip the criterion and keep going).
+    crit_key = {"cider": "cider_score", "bleu4": "bleu4",
+                "t2i_r10": "t2i_r10"}
+    best = {crit: int(np.argmax(metrics[key]))
+            for crit, key in crit_key.items() if seen[key]}
+    for crit, key in crit_key.items():
+        if not seen[key]:
+            print(f"harvest: no {key} values in the val history — skipping "
+                  f"the '{crit}' selection criterion")
     metrics["best_iteration_by"] = best
     metrics["test_models"] = {
         crit: metrics["iteration"][idx] for crit, idx in best.items()}
@@ -69,6 +84,12 @@ def remove_unnecessary_models(metrics, run_dir):
     """Delete per-iteration model files not selected by any criterion
     (ref :18-41)."""
     keep = set(metrics["test_models"].values())
+    if not keep:
+        # no criterion had data (fresh run with eval disabled): deleting
+        # "everything but the best" would delete everything
+        print("harvest: no selection criteria available — keeping all "
+              "per-iteration checkpoints")
+        return {}
     for fname in os.listdir(run_dir):
         if not _is_iter_model(fname):
             continue

@@ -180,9 +180,12 @@ def rank_metrics(img_embs, cap_embs, images_data=None, use_gen_sent=False,
             rsum = sum(r[:3]) + sum(ri[:3])
         else:
             results = []
+            # 5 folds of 1000 images = 1000*cpi caption rows each (the
+            # reference's hardcoded 5000 assumes cpi=5, eval_utils.py:437)
+            fold_rows = 1000 * cpi
             for i in range(5):
-                sl = slice(i * 5000, (i + 1) * 5000)
-                r = i2t(img_embs[sl], cap_embs[sl])
+                sl = slice(i * fold_rows, (i + 1) * fold_rows)
+                r = i2t(img_embs[sl], cap_embs[sl], caps_per_image=cpi)
                 ri = t2i(img_embs[sl], cap_embs[sl], caps_per_image=cpi)
                 ar = (r[0] + r[1] + r[2]) / 3
                 ari = (ri[0] + ri[1] + ri[2]) / 3

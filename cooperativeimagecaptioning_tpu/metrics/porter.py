@@ -111,11 +111,7 @@ def stem(word: str) -> str:
     for suf in sorted(step4, key=len, reverse=True):
         if w.endswith(suf):
             base = w[: -len(suf)]
-            if suf == "ion":
-                pass
             if _m(base) > 1:
-                if suf in ("ion",) and not base.endswith(("s", "t")):
-                    continue
                 w = base
             break
     else:

@@ -47,6 +47,7 @@ int parse_npy(const uint8_t* buf, size_t len, float* out, int64_t cap,
     hlen = buf[8] | (buf[9] << 8);
     hoff = 10;
   } else {
+    if (len < 12) return -1;  // v2/v3 header length needs bytes 8..11
     hlen = buf[8] | (buf[9] << 8) | (buf[10] << 16) |
            ((size_t)buf[11] << 24);
     hoff = 12;

@@ -176,7 +176,11 @@ class CaptioningService:
         outs = []
         for start in range(0, n, b):
             chunk = slice(start, min(start + b, n))
-            fc = pad0(np.asarray(fc_feats)[chunk], b)
+            # re-bucket the (possibly small) remainder chunk: padding 4
+            # leftover images up to the largest bucket would pay a full
+            # max-batch decode for them
+            cb = self._bucket_for(min(b, n - start))
+            fc = pad0(np.asarray(fc_feats)[chunk], cb)
             att = None
             am = None
             if att_feats is not None:
@@ -186,7 +190,7 @@ class CaptioningService:
                     a = np.pad(a, ((0, 0), (0, K - a.shape[1]), (0, 0)))
                 else:
                     a = a[:, :K]
-                att = pad0(a, b)
+                att = pad0(a, cb)
                 m = np.asarray(att_masks)[chunk] if att_masks is not None \
                     else np.ones(np.asarray(att_feats)[chunk].shape[:2],
                                  np.float32)
@@ -213,11 +217,11 @@ class CaptioningService:
                 # pad0 copied when filler rows exist, so the write below can
                 # never alias the caller's array.
                 rows = chunk.stop - chunk.start
-                m = pad0(m, b)
-                if rows < b:
+                m = pad0(m, cb)
+                if rows < cb:
                     m[rows:, 0] = 1.0
                 am = m
-            seq = np.asarray(self._run_bucket(fc, att, am, b))
+            seq = np.asarray(self._run_bucket(fc, att, am, cb))
             outs.append(seq[: chunk.stop - chunk.start])
         return np.concatenate(outs, axis=0)
 

@@ -50,3 +50,21 @@ def test_evalrankcap_end_to_end(tmp_path):
     halves = cr.evalrankcap(ev, params, loader, {"split": "val"},
                             divide_caption=1)
     assert "first" in halves and "second" in halves
+
+
+def test_split_halves_shared_rule():
+    """The reference computes ONE half over the GT and generated groups
+    together (eval_utils.py:1128-1148) — both groups must cut at the same
+    point even when their mean lengths differ."""
+    import numpy as np
+    from cooperativeimagecaptioning_tpu.evaluation.caption_retrieval import \
+        split_halves
+    gt = np.arange(1, 13).reshape(1, 12)
+    gt_m = np.ones((1, 12)); gt_lens = np.array([12.0])
+    gen = np.arange(101, 113).reshape(1, 12)
+    gen_m = np.ones((1, 12)); gen_lens = np.array([6.0])
+    both = np.concatenate([gt_lens, gen_lens])
+    (g1, _), _ = split_halves(gt, gt_m, gt_lens, shared_lens=both)
+    (n1, _), _ = split_halves(gen, gen_m, gen_lens, shared_lens=both)
+    # shared half = min(floor(mean(9)/2)=4, min(6)-1=5) = 4 for BOTH groups
+    assert g1.shape[1] == 4 and n1.shape[1] == 4

@@ -151,3 +151,26 @@ def test_full_harvest_with_real_test_reeval(tmp_path, monkeypatch):
         assert "CIDEr" in payload["lang_stats"]
         assert np.isfinite(payload["loss"]["loss_cap"])
         assert payload["split_predictions"]
+
+
+def test_metric_free_history_keeps_all_checkpoints(tmp_path):
+    """With language_eval=0 and rank_eval=0 every lang_stats is empty: no
+    selection criterion has data, so harvesting must NOT pick iteration[0]
+    as 'best' and delete the rest (the all-default argmax did exactly that;
+    the reference KeyErrors instead, plots_general_curve.py:304-307)."""
+    import os, pickle
+    from cooperativeimagecaptioning_tpu.evaluation import harvest
+    run = tmp_path / "run"
+    os.makedirs(run)
+    hist = {"val_result_history": {
+        500: {"loss": {}, "lang_stats": {}, "predictions": []},
+        1000: {"loss": {}, "lang_stats": {}, "predictions": []}}}
+    with open(run / "histories_x.pkl", "wb") as f:
+        pickle.dump(hist, f)
+    for it in (500, 1000):
+        (run / f"model-{it}.pth").write_bytes(b"x")
+    m = harvest.create_model_metrics(str(run), "x")
+    assert m["test_models"] == {}
+    harvest.remove_unnecessary_models(m, str(run))
+    assert sorted(os.listdir(run)) == [
+        "histories_x.pkl", "model-1000.pth", "model-500.pth"]
