@@ -41,6 +41,12 @@ def init_params(rng, opt):
         params["att_bn"] = {
             "scale": jnp.ones((opt.att_feat_size,)),
             "bias": jnp.zeros((opt.att_feat_size,)),
+            # running statistics (torch BatchNorm1d init): eval/serving
+            # normalizes with these, batch-independent; training uses batch
+            # stats and EMA-updates them (Trainer.train_iteration ->
+            # bn_running_update)
+            "mean": jnp.zeros((opt.att_feat_size,)),
+            "var": jnp.ones((opt.att_feat_size,)),
         }
     return params
 
@@ -65,9 +71,10 @@ def encode_features(params, fc_feats, att_feats, att_masks, rng=None, train=Fals
     if "att_bn" in params:
         # optional BatchNorm1d before the embed Linear (ref: AttModel.py:82-85)
         bn = params["att_bn"]
-        if "mean" in bn:
-            # frozen running stats (torch-imported checkpoints): matches the
-            # reference's eval()-mode BN exactly, batch-independent
+        if "mean" in bn and not train:
+            # running stats (torch-imported checkpoints, or EMA-tracked by
+            # training): matches the reference's eval()-mode BN exactly,
+            # batch-independent
             mean = bn["mean"]
             var = bn["var"]
         elif att_masks is not None:
@@ -88,6 +95,34 @@ def encode_features(params, fc_feats, att_feats, att_masks, rng=None, train=Fals
         emb = layers.dropout(rng, emb, drop_prob, deterministic=False)
     p_att = layers.linear(params["ctx2att"], emb)
     return {"att_feats": emb, "p_att_feats": p_att, "att_masks": att_masks}
+
+
+def bn_running_update(params, att_feats, att_masks, momentum=0.1):
+    """EMA-update the att BN running statistics from one batch (torch
+    BatchNorm1d train-mode semantics: momentum 0.1, unbiased variance).
+    Called by the Trainer once per iteration when use_bn is on and the
+    params were initialized from scratch — torch-imported checkpoints also
+    track, matching the reference's train()-mode forward."""
+    bn = params.get("att_bn")
+    if bn is None or "mean" not in bn:
+        return params
+    x = att_feats
+    if att_masks is not None:
+        w = att_masks[..., None]
+        n = jnp.maximum(jnp.sum(w), 2.0)
+        mean = jnp.sum(x * w, axis=(0, 1)) / n
+        var = jnp.sum(jnp.square(x - mean) * w, axis=(0, 1)) / n
+    else:
+        n = jnp.float32(x.shape[0] * x.shape[1])
+        mean = jnp.mean(x, axis=(0, 1))
+        var = jnp.var(x, axis=(0, 1))
+    var_unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+    bn = dict(bn)
+    bn["mean"] = (1 - momentum) * bn["mean"] + momentum * mean
+    bn["var"] = (1 - momentum) * bn["var"] + momentum * var_unbiased
+    out = dict(params)
+    out["att_bn"] = bn
+    return out
 
 
 def quantize_ctx(ctx):

@@ -81,16 +81,17 @@ def additive_attention(att_params, h, att_feats, p_att_feats, att_masks):
 
     Masking semantics match the reference exactly: softmax over the full padded
     row, multiply by the mask, renormalize (AttModel.py:480-483) — NOT -inf masking.
+
+    Delegates to ops.pallas.att_step.attention_reference — the SINGLE source
+    of the attention math, which is also the fused kernel's fallback and
+    test oracle (keeping two copies let them drift).
     """
-    att_h = linear(att_params["h2att"], h)  # [B, A]
-    dot = jnp.tanh(p_att_feats + att_h[:, None, :])  # [B, K, A]
-    scores = jnp.squeeze(
-        dot @ att_params["alpha_net"]["w"], -1) + att_params["alpha_net"]["b"]
-    weight = jax.nn.softmax(scores, axis=-1)  # [B, K]
-    if att_masks is not None:
-        weight = weight * att_masks
-        weight = weight / jnp.sum(weight, axis=1, keepdims=True)
-    return jnp.einsum("bk,bkh->bh", weight, att_feats)
+    from cooperativeimagecaptioning_tpu.ops.pallas import att_step
+    return att_step.attention_reference(
+        h, att_feats, p_att_feats,
+        att_params["h2att"]["w"], att_params["h2att"]["b"],
+        att_params["alpha_net"]["w"], att_params["alpha_net"]["b"],
+        att_masks)
 
 
 def attention_init(rng, rnn_size: int, att_hid_size: int, dtype=jnp.float32):

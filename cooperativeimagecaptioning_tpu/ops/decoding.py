@@ -263,7 +263,8 @@ def sample(module, params, ctx, seq_length, rng, mode="greedy", temperature=1.0,
         if one_hot_mode:
             oh = jnp.concatenate(
                 [relaxed, jnp.zeros((B, 1), relaxed.dtype)], axis=1)  # [B, V+2]
-            oh = oh * unfinished[:, None].astype(oh.dtype)
+            # (jnp.where alone realizes the reference's mask-then-replace,
+            # AttModel.py:416-433 — a separate pre-multiply is redundant)
             oh = jnp.where(unfinished[:, None], oh, eos_one_hot[None, :])
         else:
             # zero-width placeholder: scan still stacks it, but it costs nothing

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from cooperativeimagecaptioning_tpu.rewards.ngram_device import (
-    _gram_hashes, NS)
+    _gram_hashes, NS, containment_df)
 
 
 def soft_cider_scores(res, refs, ref_mask, ref_len_log=None, eps=1e-20):
@@ -51,9 +51,10 @@ def soft_cider_scores(res, refs, ref_mask, ref_len_log=None, eps=1e-20):
         tf = jnp.einsum("brij,brj->bri", eq_rr, vr)  # [B, R, Lr]
         tf_total = jnp.sum(vr, axis=-1)              # [B, R] = #gram positions
         # corpus df: count of batch items whose ref set contains the gram
-        # (shared dense-containment helper, rewards/ngram_device.py)
-        from cooperativeimagecaptioning_tpu.rewards.ngram_device import \
-            containment_df
+        # (shared dense-containment helper, rewards/ngram_device.py).
+        # NOTE the dense compare is O((B*R*Lr)^2) per n inside the grad
+        # graph — soft_cider is practical to B~64-128 images on one v5e;
+        # beyond that, batch down or extend the DfTable tier to this path
         df = containment_df(gr, gr.reshape(B, R * Lr),
                             vr.reshape(B, R * Lr))   # [B, R, Lr]
         idf = ref_len_log - jnp.log(jnp.maximum(1.0, df))

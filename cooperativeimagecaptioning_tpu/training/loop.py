@@ -432,6 +432,25 @@ class Trainer:
                     tuple(a for a in agents_to_update(opt, turn)
                           if a in self.params))
 
+        # BN running-stat EMA (torch train-mode BatchNorm1d semantics): the
+        # functional forward normalizes with batch stats under train=True;
+        # the running stats eval/serving uses are tracked here, once per
+        # iteration (ref: the train()-mode forward updates them implicitly)
+        if getattr(opt, "use_bn", 0) and batch.get("att_feats") is not None \
+                and "speaker" in self.params \
+                and "att_bn" in self.params["speaker"]:
+            from cooperativeimagecaptioning_tpu.models import att_model
+            sp_new = att_model.bn_running_update(
+                self.params["speaker"], batch["att_feats"],
+                batch.get("att_masks"))
+            if self.mesh is not None:
+                old_bn = self.params["speaker"]["att_bn"]
+                sp_new["att_bn"] = {
+                    k: jax.device_put(v, old_bn[k].sharding)
+                    if k in old_bn else v
+                    for k, v in sp_new["att_bn"].items()}
+            self.params = {**self.params, "speaker": sp_new}
+
         loss_dict = dict(aux)  # device scalars; converted lazily by loggers
         loss_dict.update(aux_host)
         loss_dict["loss"] = loss

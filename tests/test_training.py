@@ -645,3 +645,31 @@ def test_histories_recorded_via_train_iteration(tmp_path):
         opt.checkpoint_path, f"histories_{opt.id}.pkl"), "rb"))
     assert set(h["loss_history"]) == {2, 4}
     assert all(isinstance(v, float) for v in h["loss_history"].values())
+
+
+def test_use_bn_tracks_running_stats_from_scratch():
+    """use_bn trained from scratch must produce batch-INDEPENDENT eval
+    outputs: training tracks BN running stats (EMA, torch semantics), and
+    eval normalizes with them — not with eval-batch statistics (which made
+    a caption depend on which other images shared the batch)."""
+    from cooperativeimagecaptioning_tpu.models import att_model as am
+    opt = tiny_opt(phase=2, caption_loss_weight=1, vse_loss_weight=0,
+                   use_bn=1, max_att_len=6)
+    tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+    bn0 = jax.tree.map(np.asarray, tr.params["speaker"]["att_bn"])
+    assert "mean" in bn0 and "var" in bn0  # running stats exist at init
+    for _ in range(3):
+        tr.train_iteration()
+    bn1 = jax.tree.map(np.asarray, tr.params["speaker"]["att_bn"])
+    assert not np.allclose(bn0["mean"], bn1["mean"])  # EMA moved
+    # eval path: same image, different batch compositions -> same encoding
+    sp = tr.params["speaker"]
+    rng = np.random.RandomState(0)
+    att = rng.randn(4, 6, opt.att_feat_size).astype(np.float32)
+    m = np.ones((4, 6), np.float32)
+    full = np.asarray(am.encode_features(sp, None, jnp.asarray(att),
+                                         jnp.asarray(m))["att_feats"])
+    solo = np.asarray(am.encode_features(sp, None, jnp.asarray(att[:1]),
+                                         jnp.asarray(m[:1]))["att_feats"])
+    np.testing.assert_allclose(full[:1], solo, rtol=1e-5, atol=1e-6)
+    tr.close()
