@@ -342,10 +342,19 @@ class Trainer:
         return batch
 
     def close(self):
-        """Stop background machinery (the loader's prefetch thread, if any)."""
+        """Stop background machinery (the loader's prefetch thread, if any)
+        and deregister process-global state this Trainer installed (the
+        vocab-sharded kernel mesh — leaking it re-routes later single-chip
+        head dispatches through shard_map)."""
         closer = getattr(self.loader, "close", None)
         if closer is not None:
             closer()
+        if self.mesh is not None and int(getattr(
+                self.opt, "mesh_model_axis", 1) or 1) > 1:
+            from cooperativeimagecaptioning_tpu.ops.pallas import _dispatch
+            vm = _dispatch.vocab_mesh()
+            if vm is not None and vm[0] is self.mesh:
+                _dispatch.set_vocab_mesh(None)
 
     def _shard_reward(self, reward):
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -38,3 +38,15 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+
+
+@pytest.fixture(autouse=True)
+def _reset_kernel_dispatch_state():
+    """Process-global Pallas dispatch state (warn-once registry, vocab-mesh
+    registration) must not leak between tests: a model-parallel Trainer that
+    a slow test forgot to close() re-routed later single-chip head tests
+    through shard_map (observed only in the full sweep)."""
+    yield
+    from cooperativeimagecaptioning_tpu.ops.pallas import _dispatch
+    _dispatch.reset_warnings()
+    _dispatch.set_vocab_mesh(None)
