@@ -106,6 +106,8 @@ class DataLoader:
             elif opt.train_only == 0:  # restval
                 self.split_ix["train"].append(ix)
         self.iterators = {"train": 0, "val": 0, "test": 0}
+        self._consumed_it = None   # set per consumed batch (resume_state)
+        self._consumed_six = None
         self._rng = random.Random(getattr(opt, "seed", 123))
         self._prefetchers = {}
         self._prefetch_enabled = prefetch
@@ -136,6 +138,8 @@ class DataLoader:
         # the counter after the reset, silently skipping the split's head
         self._drop_prefetcher(split)
         self.iterators[split] = 0
+        if self._consumed_it is not None:
+            self._consumed_it[split] = 0
 
     # -- iteration -----------------------------------------------------------
     def _next_index(self, split):
@@ -261,8 +265,16 @@ class DataLoader:
         return data
 
     def _fetch_batch(self, split, batch_size):
-        return self._assemble(
+        data = self._assemble(
             [self._fetch_one(split) for _ in range(batch_size)], split)
+        # snapshot the post-batch iterator state WITH the batch: with the
+        # prefetcher running, the live iterators are up to depth+1 batches
+        # ahead of what the trainer consumed — checkpointing the live state
+        # would make resume skip data (and a wrap-time shuffle recorded
+        # early would desynchronize split_ix from the recorded position)
+        snap_six = {k: list(v) for k, v in self.split_ix.items()} \
+            if data["bounds"]["wrapped"] else None
+        return data, (dict(self.iterators), snap_six)
 
     def _drop_prefetcher(self, split):
         pf = self._prefetchers.pop(split, None)
@@ -272,7 +284,9 @@ class DataLoader:
     def get_batch(self, split, batch_size=None):
         batch_size = batch_size or self.batch_size
         if not self._prefetch_enabled:
-            return self._fetch_batch(split, batch_size)
+            data, snap = self._fetch_batch(split, batch_size)
+            self._record_consumed(snap)
+            return data
         pf = self._prefetchers.get(split)
         if pf is not None and pf.batch_size != batch_size:
             # a different batch_size invalidates the prefetched batches
@@ -284,7 +298,25 @@ class DataLoader:
                 self._prefetch_depth)
             pf.batch_size = batch_size
             self._prefetchers[split] = pf
-        return pf.get()
+        data, snap = pf.get()
+        self._record_consumed(snap)
+        return data
+
+    def _record_consumed(self, snap):
+        it, six = snap
+        self._consumed_it = it
+        if six is not None:
+            self._consumed_six = six
+
+    def resume_state(self):
+        """(iterators, split_ix) as of the last CONSUMED batch — what a
+        checkpoint must record for exact resume (the live attributes run
+        ahead while the prefetcher is active)."""
+        if self._consumed_it is None:
+            return self.iterators, self.split_ix
+        return self._consumed_it, \
+            self._consumed_six if self._consumed_six is not None \
+            else self.split_ix
 
     def close(self):
         for split in list(self._prefetchers):

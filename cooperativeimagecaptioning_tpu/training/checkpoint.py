@@ -280,7 +280,8 @@ class CheckpointManager:
         if not sf:
             return params, False
         kind = "alternatingModel" if self.opt.is_alternating else "model"
-        name = f"{kind}-{iteration}.pth" if iteration else f"{kind}.pth"
+        name = f"{kind}-{iteration}.pth" if iteration is not None \
+            else f"{kind}.pth"
         path = os.path.join(sf, name)
         restored = self._try_restore_tree(params, path)
         if restored is not None:

@@ -66,13 +66,17 @@ class Trainer:
             return params
 
         if opt.is_alternating:
-            if getattr(opt, "continue_from_existing_models", True) and \
-                    opt.speaker_stage_2_model_path and \
-                    os.path.isfile(opt.speaker_stage_2_model_path):
-                params = ck.load_params_into(
-                    params, opt.speaker_stage_2_model_path)
-            params = overlay_listener(params)
-            params, resumed = self.ckpt.try_load_model(params)
+            resumed = False
+            if getattr(opt, "continue_from_existing_models", True):
+                # flag off = fresh params, NO loading at all (ref cascade
+                # is inside `if opt.continue_from_existing_models`,
+                # AlternatingJointModel.py:131-166)
+                if opt.speaker_stage_2_model_path and \
+                        os.path.isfile(opt.speaker_stage_2_model_path):
+                    params = ck.load_params_into(
+                        params, opt.speaker_stage_2_model_path)
+                params = overlay_listener(params)
+                params, resumed = self.ckpt.try_load_model(params)
         else:
             params, resumed = self.ckpt.try_load_model(params)
             if not resumed and opt.speaker_stage_2_model_path and \
@@ -94,8 +98,11 @@ class Trainer:
         n_model = int(getattr(opt, "mesh_model_axis", 1) or 1)
         if n_data > 1 or n_model > 1:
             from cooperativeimagecaptioning_tpu import parallel
-            if n_data <= 1:
+            if n_data == 0:
+                # 0 = auto (all remaining devices); an EXPLICIT 1 means a
+                # model-only mesh and must not be expanded
                 n_data = max(1, len(jax.devices()) // n_model)
+            n_data = max(1, n_data)
             eff_batch = opt.batch_size * opt.seq_per_img
             assert eff_batch % n_data == 0, (
                 f"batch_size*seq_per_img ({eff_batch}) must divide the data "
@@ -163,6 +170,12 @@ class Trainer:
             from cooperativeimagecaptioning_tpu.rewards import ngram_device
             self._df_table = ngram_device.load_df_table(
                 f"data/{opt.cached_tokens}.p")
+            if self.mesh is not None:
+                # replicate ONCE: a per-step device_put of an uncommitted
+                # table re-copies the whole thing every iteration
+                self._df_table = jax.device_put(
+                    self._df_table, jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec()))
         if opt.cider_optimization > 0:
             self_critical.init_scorer(opt.cached_tokens)
         # HBM-resident feature cache (--device_feature_cache): train batches
@@ -246,17 +259,38 @@ class Trainer:
                 store = np.dtype(ml_dtypes.bfloat16)
             else:
                 store = np.dtype(np.float32)
-            atts = [np.asarray(self.loader.get_transformed_att(ix), np.float32)
-                    for ix in range(N)]
-            K = max(a.shape[0] for a in atts)
+            overflow = False
             if self.loader.max_att_len:
-                K = max(K, self.loader.max_att_len)
-            att = np.zeros((N, K, atts[0].shape[1]), store)
-            mask = np.zeros((N, K), np.float32)
-            for i, a in enumerate(atts):
-                att[i, : a.shape[0]] = a.astype(store)
-                mask[i, : a.shape[0]] = 1
-            del atts
+                # K is pinned: fill the padded array in ONE pass — holding
+                # an f32 list AND the padded array doubles peak host RAM
+                # (~12 GB at the 20k full-dim protocol)
+                K = self.loader.max_att_len
+                att = mask = None
+                for i in range(N):
+                    a = np.asarray(self.loader.get_transformed_att(i),
+                                   np.float32)
+                    if a.shape[0] > K:
+                        # streaming _assemble GROWS past max_att_len for
+                        # oversized images — match it via the general path
+                        overflow = True
+                        break
+                    if att is None:
+                        att = np.zeros((N, K, a.shape[1]), store)
+                        mask = np.zeros((N, K), np.float32)
+                    att[i, : a.shape[0]] = a.astype(store)
+                    mask[i, : a.shape[0]] = 1
+            if not self.loader.max_att_len or overflow:
+                atts = [np.asarray(self.loader.get_transformed_att(ix),
+                                   np.float32) for ix in range(N)]
+                K = max(a.shape[0] for a in atts)
+                if self.loader.max_att_len:
+                    K = max(K, self.loader.max_att_len)
+                att = np.zeros((N, K, atts[0].shape[1]), store)
+                mask = np.zeros((N, K), np.float32)
+                for i, a in enumerate(atts):
+                    att[i, : a.shape[0]] = a.astype(store)
+                    mask[i, : a.shape[0]] = 1
+                del atts
             cache["att"] = self._put_chunked(att)
             cache["att_mask"] = jnp.asarray(mask)
         sig = cache.pop("_att_sig", None)  # keep metadata out of device ops
@@ -335,10 +369,9 @@ class Trainer:
             from cooperativeimagecaptioning_tpu import parallel
             batch = parallel.shard_batch(batch, self.mesh)
         if self._df_table is not None and "refs" in batch:
-            # replicated (not data-sharded) device constant
-            batch["df_table"] = self._df_table if self.mesh is None else \
-                jax.device_put(self._df_table, jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec()))
+            # already replicated on the mesh at load time (committed, so
+            # shard_batch's equivalence check passes it through untouched)
+            batch["df_table"] = self._df_table
         return batch
 
     def close(self):
@@ -523,9 +556,10 @@ class Trainer:
         self.ckpt.save_model(self.params, self.iteration)
         self.ckpt.save_optimizers(self.optim)
         infos = self.infos
+        res_it, res_six = self.loader.resume_state()
         infos.update({"iter": self.iteration, "epoch": self.epoch,
-                      "iterators": self.loader.iterators,
-                      "split_ix": self.loader.split_ix,
+                      "iterators": res_it,
+                      "split_ix": res_six,
                       "best_val_score": self.best_val_score,
                       "best_val_score_vse": self.best_val_score_vse,
                       "opt": self.opt, "vocab": self.loader.get_vocab(),

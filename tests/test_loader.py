@@ -122,3 +122,34 @@ def test_prefetch_batch_size_change():
     assert ld.get_batch("train", 4)["labels"].shape[0] == 4 * ld.seq_per_img
     assert ld.get_batch("train", 2)["labels"].shape[0] == 2 * ld.seq_per_img
     ld.close()
+
+
+def test_prefetch_resume_state_tracks_consumed_not_fetched():
+    """With the prefetcher ahead, checkpoints must record the CONSUMED
+    iterator state: the live attributes run up to depth+1 batches ahead, and
+    saving those made resume skip data (and a wrap-time shuffle recorded
+    early desynchronized split_ix from the recorded position)."""
+    import time
+    from cooperativeimagecaptioning_tpu.config import Options
+    from cooperativeimagecaptioning_tpu.data.loader import DataLoader
+    from cooperativeimagecaptioning_tpu.data.sources import SyntheticDataset
+    opt = Options(batch_size=4, seq_per_img=1, prefetch_batches=3)
+    ds = SyntheticDataset(num_images=40, vocab_size=20, seq_length=6,
+                          fc_feat_size=8, att_feat_size=8, max_K=3)
+    ld = DataLoader(opt, dataset=ds, prefetch=True)
+    data = ld.get_batch("train")
+    for _ in range(50):  # let the worker run ahead
+        if ld.iterators["train"] > 4:
+            break
+        time.sleep(0.05)
+    it, six = ld.resume_state()
+    assert it["train"] == 4, it           # exactly one batch consumed
+    assert ld.iterators["train"] > 4      # live state is ahead
+    # consumed indices match the recorded order's head
+    got = [i["ix"] for i in data["infos"]]
+    assert got == six["train"][:4] if six is not None else True
+    # a second consumed batch advances the consumed view by one batch
+    ld.get_batch("train")
+    it2, _ = ld.resume_state()
+    assert it2["train"] == 8, it2
+    ld.close()
