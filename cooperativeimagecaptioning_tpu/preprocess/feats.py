@@ -78,10 +78,29 @@ def _write(dir_fc, dir_att, key, fc, att):
                         feat=np.asarray(att, np.float32))
 
 
+def _lin_weights(n_in, n_out):
+    """[n_out, n_in] anti-aliased linear resampling weights — the same
+    triangle kernel (scaled by the ratio when downsampling, half-pixel
+    centers, edge renormalization) as jax.image.resize(method='bilinear')."""
+    scale = n_in / n_out
+    kscale = max(scale, 1.0)  # widen the kernel when downsampling (AA)
+    src = (np.arange(n_out, dtype=np.float64) + 0.5) * scale - 0.5
+    dist = (src[:, None] - np.arange(n_in, dtype=np.float64)[None, :]) / kscale
+    w = np.maximum(0.0, 1.0 - np.abs(dist))
+    return (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+
+
 def _resize_bilinear(img, size):
-    """Host-side bilinear resize to a square (enables fixed-shape batching)."""
-    return np.asarray(jax.image.resize(
-        jnp.asarray(img), (size, size, img.shape[2]), method="bilinear"))
+    """Host-side bilinear resize to a square (enables fixed-shape batching).
+
+    Pure numpy: routing this through jax on the TPU backend compiled one
+    resize program PER distinct raw resolution and shipped every image
+    host->device->host through the thin tunnel just to resize it."""
+    img = np.asarray(img, np.float32)
+    H, W, _ = img.shape
+    wy = _lin_weights(H, size)
+    wx = _lin_weights(W, size)
+    return np.einsum("oh,hwc,pw->opc", wy, img, wx, optimize=True)
 
 
 def prepro_feats(input_json, images_root, output_dir, model_weights=None,

@@ -129,3 +129,21 @@ def test_prepro_labels_flickr_out_json(tmp_path):
         talk = json.load(f)
     assert talk["images"][0]["id"] == 7000
     assert talk["images"][0]["file_path"] == "train/img0.jpg"
+
+
+def test_host_resize_matches_jax_image_resize():
+    """The host numpy resize (one compile per raw resolution avoided) must
+    reproduce jax.image.resize(method='bilinear') incl. the anti-aliased
+    downsampling kernel."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from cooperativeimagecaptioning_tpu.preprocess.feats import \
+        _resize_bilinear
+    rng = np.random.RandomState(3)
+    for (h, w, s) in ((37, 53, 64), (64, 64, 32), (100, 40, 48)):
+        img = rng.rand(h, w, 3).astype(np.float32)
+        got = _resize_bilinear(img, s)
+        want = np.asarray(jax.image.resize(
+            jnp.asarray(img), (s, s, 3), method="bilinear"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
