@@ -43,27 +43,15 @@ def make_distributed_train_step(opt, turn, mesh, donate=True):
             return joint.loss_fn(modules, p, opt, batch, rng, hp, turn,
                                  reward, train=True)
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
-        # device-side non-finite guard, same semantics as the single-chip
-        # OptimizerManager (training/optim.py:76-93): a NaN/inf gradient
-        # leaves params AND Adam state untouched on every chip
-        ok = jnp.array(True)
-        for agent in agents:
-            if agent not in params:
-                continue
-            for g in jax.tree.leaves(grads[agent]):
-                ok = ok & jnp.all(jnp.isfinite(g))
-        new_params = dict(params)
-        new_states = dict(opt_states)
-        for agent in agents:
-            if agent not in params:
-                continue
-            updates, st = txs[agent].update(
-                grads[agent], opt_states[agent], params[agent])
-            upd = jax.tree.map(lambda p, u: p + u, params[agent], updates)
-            new_params[agent] = jax.tree.map(
-                lambda n, o: jnp.where(ok, n, o), upd, params[agent])
-            new_states[agent] = jax.tree.map(
-                lambda n, o: jnp.where(ok, n, o), st, opt_states[agent])
+        # shared non-finite-guarded apply (training/optim.guarded_update):
+        # identical semantics to the single-chip OptimizerManager by
+        # construction — a NaN/inf gradient leaves params AND Adam state
+        # untouched on every chip
+        from cooperativeimagecaptioning_tpu.training.optim import \
+            guarded_update
+        live = tuple(a for a in agents if a in params)
+        new_params, new_states, ok = guarded_update(
+            txs, params, grads, opt_states, live)
         aux = dict(aux)
         aux["step_ok"] = ok
         return new_params, new_states, loss, aux

@@ -74,23 +74,7 @@ class OptimizerManager:
             st.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
     def _update_impl(self, params, grads, states, agents):
-        # device-side non-finite guard: a bad step leaves params AND optimizer
-        # state untouched (no host sync needed to decide)
-        ok = jnp.array(True)
-        for agent in agents:
-            for g in jax.tree.leaves(grads[agent]):
-                ok = ok & jnp.all(jnp.isfinite(g))
-        new_params = dict(params)
-        new_states = dict(states)
-        for agent in agents:
-            updates, st = self.txs[agent].update(
-                grads[agent], states[agent], params[agent])
-            upd = optax.apply_updates(params[agent], updates)
-            new_params[agent] = jax.tree.map(
-                lambda n, o: jnp.where(ok, n, o), upd, params[agent])
-            new_states[agent] = jax.tree.map(
-                lambda n, o: jnp.where(ok, n, o), st, states[agent])
-        return new_params, new_states, ok
+        return guarded_update(self.txs, params, grads, states, agents)
 
     def step(self, params, grads, turn: str):
         agents = tuple(a for a in agents_to_update(self.opt, turn)
@@ -113,3 +97,27 @@ class OptimizerManager:
 
     def load_state_dict(self, states):
         self.states = states
+
+
+def guarded_update(txs, params, grads, states, agents):
+    """Non-finite-guarded per-agent optimizer apply — the ONE implementation
+    shared by the single-chip OptimizerManager and the fused distributed step
+    (parallel/train_step.py), so the guard semantics cannot drift between
+    paths.  A NaN/inf gradient on ANY updated agent leaves params AND
+    optimizer state untouched; the decision is a device scalar (no host
+    sync).  Returns (new_params, new_states, ok)."""
+    ok = jnp.array(True)
+    for agent in agents:
+        for g in jax.tree.leaves(grads[agent]):
+            ok = ok & jnp.all(jnp.isfinite(g))
+    new_params = dict(params)
+    new_states = dict(states)
+    for agent in agents:
+        updates, st = txs[agent].update(
+            grads[agent], states[agent], params[agent])
+        upd = optax.apply_updates(params[agent], updates)
+        new_params[agent] = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), upd, params[agent])
+        new_states[agent] = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), st, states[agent])
+    return new_params, new_states, ok
