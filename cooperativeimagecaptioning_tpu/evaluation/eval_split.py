@@ -27,9 +27,16 @@ class Evaluator:
     partitioned over all chips, so checkpoint evals scale with the Trainer
     instead of falling back to one device."""
 
-    def __init__(self, opt, mesh=None):
+    def __init__(self, opt, mesh=None, feat_cache=None):
         self.opt = opt
         self.mesh = mesh
+        # HBM-resident feature cache (the Trainer's --device_feature_cache
+        # dict: fc [N,D], att [N,K,D'] (bf16/f32), att_mask [N,K]).  When
+        # present, eval batches gather features ON DEVICE by infos[ix]
+        # instead of streaming them host->device per batch — at the 5000-
+        # image protocol the streamed att features alone are ~1.5 GB/eval,
+        # which a thin host link turns into the entire eval wall time.
+        self.feat_cache = feat_cache
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             # vocab matrices are model-sharded: route greedy/beam heads
             # through their shard_map variants (ops/pallas/_dispatch.py)
@@ -113,10 +120,35 @@ class Evaluator:
         return self._encode_fn(params, fc, seqs, masks)
 
     # -- helpers -------------------------------------------------------------
+    def _cached_feats(self, data, per_image):
+        """(fc, att, am) gathered on device from the HBM cache by infos[ix];
+        None when no cache rides this Evaluator.  per_image=False repeats
+        rows to match the caption-row layout (labels rows / images)."""
+        if self.feat_cache is None or not data.get("infos"):
+            return None
+        idx = np.asarray([i["ix"] for i in data["infos"]], np.int32)
+        if not per_image and data.get("labels") is not None:
+            rep = data["labels"].shape[0] // max(1, len(idx))
+            if rep > 1:
+                idx = np.repeat(idx, rep)
+        idx = jnp.asarray(idx)
+        fc = self._shard(jnp.take(self.feat_cache["fc"], idx, axis=0))
+        att = am = None
+        if self.opt.use_att and "att" in self.feat_cache:
+            att = self._shard(jnp.take(self.feat_cache["att"], idx,
+                                       axis=0).astype(jnp.float32))
+            am = self._shard(jnp.take(self.feat_cache["att_mask"], idx,
+                                      axis=0))
+        return fc, att, am
+
     def _batch_arrays(self, data):
-        batch = {"fc_feats": self._shard(jnp.asarray(data["fc_feats"])),
-                 "labels": self._shard(jnp.asarray(data["labels"])),
+        batch = {"labels": self._shard(jnp.asarray(data["labels"])),
                  "masks": self._shard(jnp.asarray(data["masks"]))}
+        cached = self._cached_feats(data, per_image=False)
+        if cached is not None:
+            batch["fc_feats"], batch["att_feats"], batch["att_masks"] = cached
+            return batch
+        batch["fc_feats"] = self._shard(jnp.asarray(data["fc_feats"]))
         if data.get("att_feats") is not None and self.opt.use_att:
             batch["att_feats"] = self._shard(jnp.asarray(data["att_feats"]))
             batch["att_masks"] = (
@@ -129,6 +161,9 @@ class Evaluator:
 
     def _dedup(self, data, loader):
         """One feature row per image (ref: eval_utils.py:163-176)."""
+        cached = self._cached_feats(data, per_image=True)
+        if cached is not None:
+            return cached
         idx = np.arange(loader.batch_size) * loader.seq_per_img
         fc = self._shard(jnp.asarray(data["fc_feats"][idx]))
         att = self._shard(jnp.asarray(data["att_feats"][idx])) \
@@ -277,7 +312,9 @@ class Evaluator:
             data = loader.get_batch(split)
             n += loader.batch_size
             if not use_gen_sent:
-                fc = self._shard(jnp.asarray(data["fc_feats"]))
+                cached = self._cached_feats(data, per_image=False)
+                fc = cached[0] if cached is not None else \
+                    self._shard(jnp.asarray(data["fc_feats"]))
                 img_emb, cap_emb = self.encode_fn(
                     params, fc, self._shard(jnp.asarray(data["labels"])),
                     self._shard(jnp.asarray(data["masks"])))

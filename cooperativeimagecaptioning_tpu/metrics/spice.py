@@ -49,6 +49,16 @@ COMMON_VERBS = {"has", "have", "had", "holds", "holding", "hold", "wears",
 NOUN_ING_EXCEPTIONS = {"building", "painting", "clothing", "ceiling",
                        "lightning", "morning", "evening", "dining", "living",
                        "wedding", "railing", "awning", "icing"}
+# SPICE's scene graphs use compound spatial relations as single edges
+# ("on top of" in the paper's fig. 1 girl->court example) — merge them
+# before chunking so "top" never becomes a spurious object node
+MULTIWORD_PREPS = (("on", "top", "of"), ("in", "front", "of"),
+                   ("in", "back", "of"), ("next", "to"), ("close", "to"),
+                   ("out", "of"))
+# pronouns never become scene-graph objects (the jar's parse drops them);
+# chunk-boundary treatment mirrors determiners
+PRONOUNS = {"there", "it", "he", "she", "they", "we", "you", "i",
+            "them", "him", "us", "me", "itself", "himself", "herself"}
 
 
 def _is_verb(tok: str) -> bool:
@@ -59,18 +69,54 @@ def _is_verb(tok: str) -> bool:
     return False
 
 
+def _merge_multiword(toks):
+    out, i = [], 0
+    while i < len(toks):
+        for mw in MULTIWORD_PREPS:
+            if tuple(toks[i:i + len(mw)]) == mw:
+                out.append(" ".join(mw))
+                i += len(mw)
+                break
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def _stem_rel(rel: str) -> str:
+    """Relations are stemmed per word ('on top of' stays three words)."""
+    return " ".join(stem(w) for w in rel.split())
+
+
 def parse_tuples(caption: str):
-    """Shallow parse -> set of stemmed tuples."""
-    toks = caption.lower().split()
+    """Shallow parse -> set of stemmed tuples.
+
+    Beyond plain NP chunking (tuned on the SPICE paper's published parses,
+    tests/test_spice_golden.py):
+      * multiword prepositions are single relation edges;
+      * a verb whose object never materializes (intransitive / participle
+        before a preposition) becomes an ATTRIBUTE of its subject — the
+        paper's fig. 1 renders 'standing' as an attribute of 'girl';
+      * copula + bare modifier ('the table is white') attaches the modifier
+        to the subject instead of minting a fake 'white' object."""
+    toks = _merge_multiword(caption.lower().split())
     chunks = []       # list of (attrs, head)
     relations = []    # (subj_chunk_idx, rel, obj_chunk_idx)
+    verb_attrs = []   # (subj_chunk_idx, verb) — unconsumed verb relations
     cur = []
     pending_rel = None
     pending_subj = None
+    rel_is_verb = False
+    copula_subj = None  # chunk idx whose post-copula modifiers are attrs
 
     def close_chunk():
-        nonlocal cur, pending_rel, pending_subj
+        nonlocal cur, pending_rel, pending_subj, rel_is_verb
         if not cur:
+            return
+        if copula_subj is not None:
+            # 'X is <mods>': every token modifies X, no new object chunk
+            chunks[copula_subj][0].extend(cur)
+            cur = []
             return
         head = cur[-1]
         attrs = cur[:-1]
@@ -78,24 +124,50 @@ def parse_tuples(caption: str):
         if pending_rel is not None and pending_subj is not None:
             relations.append((pending_subj, pending_rel, len(chunks) - 1))
             pending_rel = None
+            rel_is_verb = False
         cur = []
 
+    def flush_verb():
+        # a pending VERB relation abandoned without an object chunk turns
+        # into an attribute of its subject (prep relations just drop)
+        nonlocal pending_rel, rel_is_verb
+        if pending_rel is not None and rel_is_verb and pending_subj is not None:
+            verb_attrs.append((pending_subj, pending_rel))
+        if rel_is_verb:
+            pending_rel = None
+            rel_is_verb = False
+
     for tok in toks:
-        if tok in DETERMINERS or tok in CONJUNCTIONS:
+        if tok in DETERMINERS or tok in PRONOUNS:
             close_chunk()
-        elif tok in PREPOSITIONS:
+            copula_subj = None
+        elif tok in CONJUNCTIONS:
             close_chunk()
+            flush_verb()
+        elif tok in PREPOSITIONS or " " in tok:
+            close_chunk()
+            flush_verb()
+            copula_subj = None
             if chunks:
                 pending_subj = len(chunks) - 1
                 pending_rel = tok
+                rel_is_verb = False
         elif _is_verb(tok):
             close_chunk()
+            flush_verb()
+            copula_subj = None
             if chunks:
                 pending_subj = len(chunks) - 1
-                pending_rel = tok if tok not in COPULAS else None
+                if tok in COPULAS:
+                    pending_rel = None
+                    copula_subj = pending_subj
+                else:
+                    pending_rel = tok
+                    rel_is_verb = True
         else:
             cur.append(tok)
     close_chunk()
+    flush_verb()
 
     tuples = set()
     for attrs, head in chunks:
@@ -103,9 +175,11 @@ def parse_tuples(caption: str):
         tuples.add(("O", h))
         for a in attrs:
             tuples.add(("A", h, stem(a)))
+    for si, verb in verb_attrs:
+        tuples.add(("A", stem(chunks[si][1]), stem(verb)))
     for si, rel, oi in relations:
         if si < len(chunks) and oi < len(chunks):
-            tuples.add(("R", stem(chunks[si][1]), stem(rel),
+            tuples.add(("R", stem(chunks[si][1]), _stem_rel(rel),
                         stem(chunks[oi][1])))
     return tuples
 

@@ -71,6 +71,22 @@ const std::set<std::string>& noun_ing_exceptions() {
   return s;
 }
 
+// mirrors metrics/spice.py MULTIWORD_PREPS / PRONOUNS exactly
+const std::vector<std::vector<std::string>>& multiword_preps() {
+  static std::vector<std::vector<std::string>> s = {
+      {"on", "top", "of"}, {"in", "front", "of"}, {"in", "back", "of"},
+      {"next", "to"},      {"close", "to"},       {"out", "of"}};
+  return s;
+}
+
+const std::set<std::string>& pronouns() {
+  static std::set<std::string> s = {"there", "it",  "he", "she",    "they",
+                                    "we",    "you", "i",  "them",   "him",
+                                    "us",    "me",  "itself", "himself",
+                                    "herself"};
+  return s;
+}
+
 bool is_verb(const std::string& tok) {
   if (copulas().count(tok) || common_verbs().count(tok)) return true;
   if (tok.size() > 4 && tok.compare(tok.size() - 3, 3, "ing") == 0 &&
@@ -96,19 +112,80 @@ std::vector<std::string> tokenize_lower(const std::string& s) {
 
 std::string stem(const std::string& w) { return cic_porter_stem(w.c_str()); }
 
+// relations are stemmed per word ("on top of" stays three words)
+std::string stem_rel(const std::string& rel) {
+  std::string out, word;
+  for (char ch : rel) {
+    if (ch == ' ') {
+      if (!word.empty()) {
+        if (!out.empty()) out += ' ';
+        out += stem(word);
+        word.clear();
+      }
+    } else {
+      word += ch;
+    }
+  }
+  if (!word.empty()) {
+    if (!out.empty()) out += ' ';
+    out += stem(word);
+  }
+  return out;
+}
+
+std::vector<std::string> merge_multiword(const std::vector<std::string>& toks) {
+  std::vector<std::string> out;
+  size_t i = 0;
+  while (i < toks.size()) {
+    bool matched = false;
+    for (const auto& mw : multiword_preps()) {
+      if (i + mw.size() <= toks.size()) {
+        bool eq = true;
+        for (size_t k = 0; k < mw.size(); ++k)
+          if (toks[i + k] != mw[k]) { eq = false; break; }
+        if (eq) {
+          std::string joined;
+          for (size_t k = 0; k < mw.size(); ++k) {
+            if (k) joined += ' ';
+            joined += mw[k];
+          }
+          out.push_back(joined);
+          i += mw.size();
+          matched = true;
+          break;
+        }
+      }
+    }
+    if (!matched) out.push_back(toks[i++]);
+  }
+  return out;
+}
+
 // tuples serialized as tagged strings: "O\x1f<head>", "A\x1f<head>\x1f<attr>",
-// "R\x1f<s>\x1f<rel>\x1f<o>"
+// "R\x1f<s>\x1f<rel>\x1f<o>".  Parse mirrors metrics/spice.py parse_tuples:
+// multiword preps are single edges; abandoned verb relations become subject
+// attributes; copula + bare modifiers attach to the subject.
 void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
-  auto toks = tokenize_lower(caption);
+  auto toks = merge_multiword(tokenize_lower(caption));
   std::vector<std::pair<std::vector<std::string>, std::string>> chunks;
   std::vector<std::string> cur;
   int pending_subj = -1;
   bool have_rel = false;
+  bool rel_is_verb = false;
+  int copula_subj = -1;
   std::string pending_rel;
   std::vector<std::tuple<int, std::string, int>> relations;
+  std::vector<std::pair<int, std::string>> verb_attrs;
 
   auto close_chunk = [&]() {
     if (cur.empty()) return;
+    if (copula_subj >= 0) {
+      // 'X is <mods>': every token modifies X, no new object chunk
+      auto& attrs = chunks[copula_subj].first;
+      attrs.insert(attrs.end(), cur.begin(), cur.end());
+      cur.clear();
+      return;
+    }
     std::string head = cur.back();
     std::vector<std::string> attrs(cur.begin(), cur.end() - 1);
     chunks.push_back({attrs, head});
@@ -116,29 +193,53 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
       relations.emplace_back(pending_subj, pending_rel,
                              (int)chunks.size() - 1);
       have_rel = false;
+      rel_is_verb = false;
     }
     cur.clear();
   };
 
+  auto flush_verb = [&]() {
+    // a pending VERB relation abandoned without an object chunk turns into
+    // an attribute of its subject (prep relations just drop)
+    if (have_rel && rel_is_verb && pending_subj >= 0)
+      verb_attrs.emplace_back(pending_subj, pending_rel);
+    if (rel_is_verb) {
+      have_rel = false;
+      rel_is_verb = false;
+    }
+  };
+
   for (const auto& tok : toks) {
-    if (determiners().count(tok) || conjunctions().count(tok)) {
+    if (determiners().count(tok) || pronouns().count(tok)) {
       close_chunk();
-    } else if (prepositions().count(tok)) {
+      copula_subj = -1;
+    } else if (conjunctions().count(tok)) {
       close_chunk();
+      flush_verb();
+    } else if (prepositions().count(tok) ||
+               tok.find(' ') != std::string::npos) {
+      close_chunk();
+      flush_verb();
+      copula_subj = -1;
       if (!chunks.empty()) {
         pending_subj = (int)chunks.size() - 1;
         pending_rel = tok;
         have_rel = true;
+        rel_is_verb = false;
       }
     } else if (is_verb(tok)) {
       close_chunk();
+      flush_verb();
+      copula_subj = -1;
       if (!chunks.empty()) {
         pending_subj = (int)chunks.size() - 1;
-        if (!copulas().count(tok)) {
+        if (copulas().count(tok)) {
+          have_rel = false;
+          copula_subj = pending_subj;
+        } else {
           pending_rel = tok;
           have_rel = true;
-        } else {
-          have_rel = false;
+          rel_is_verb = true;
         }
       }
     } else {
@@ -146,16 +247,19 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
     }
   }
   close_chunk();
+  flush_verb();
 
   for (auto& [attrs, head] : chunks) {
     std::string h = stem(head);
     tuples.insert("O\x1f" + h);
     for (auto& a : attrs) tuples.insert("A\x1f" + h + "\x1f" + stem(a));
   }
+  for (auto& [si, verb] : verb_attrs)
+    tuples.insert("A\x1f" + stem(chunks[si].second) + "\x1f" + stem(verb));
   for (auto& [si, rel, oi] : relations) {
     if (si < (int)chunks.size() && oi < (int)chunks.size())
-      tuples.insert("R\x1f" + stem(chunks[si].second) + "\x1f" + stem(rel) +
-                    "\x1f" + stem(chunks[oi].second));
+      tuples.insert("R\x1f" + stem(chunks[si].second) + "\x1f" +
+                    stem_rel(rel) + "\x1f" + stem(chunks[oi].second));
   }
 }
 

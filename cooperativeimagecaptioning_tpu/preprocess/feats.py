@@ -36,14 +36,26 @@ def make_extractor(params, att_size=14):
 
 
 def extract_to_dirs(params, images, ids, output_dir, att_size=14,
-                    batch_size=8, resize_to=448):
+                    batch_size=8, resize_to=448, skip_existing=True):
     """images: list of uint8 HWC arrays (or callables returning them); ids:
     matching artifact keys.  Writes <output_dir>_fc/<id>.npy and
-    <output_dir>_att/<id>.npz (ref: prepro_feats.py:88-101)."""
+    <output_dir>_att/<id>.npz (ref: prepro_feats.py:88-101).
+
+    skip_existing resumes a partially-extracted layout (123k COCO images take
+    hours — a crash must not restart from zero): images whose fc AND att
+    artifacts both exist are not recomputed."""
     dir_fc = output_dir + "_fc"
     dir_att = output_dir + "_att"
     os.makedirs(dir_fc, exist_ok=True)
     os.makedirs(dir_att, exist_ok=True)
+    todo = list(range(len(images)))
+    if skip_existing:
+        todo = [k for k in todo if not (
+            os.path.isfile(os.path.join(dir_fc, f"{ids[k]}.npy"))
+            and os.path.isfile(os.path.join(dir_att, f"{ids[k]}.npz")))]
+        if len(todo) < len(images):
+            print(f"feats: resuming — {len(images) - len(todo)}/"
+                  f"{len(images)} already extracted", flush=True)
     run = make_extractor(params, att_size)
     np.random.seed(123)  # determinism pin (ref: prepro_feats.py:64)
 
@@ -54,21 +66,20 @@ def extract_to_dirs(params, images, ids, output_dir, att_size=14,
             img = _resize_bilinear(img, resize_to)
         return img
 
-    n = len(images)
     i = 0
-    while i < n:
-        j = min(n, i + batch_size)
-        batch = [load(k) for k in range(i, j)]
+    while i < len(todo):
+        idx = todo[i:i + batch_size]
+        batch = [load(k) for k in idx]
         if resize_to is None:
-            for k, img in zip(range(i, j), batch):
+            for k, img in zip(idx, batch):
                 fc, att = run(jnp.asarray(img[None]))
                 _write(dir_fc, dir_att, ids[k], fc[0], att[0])
         else:
             fc, att = run(jnp.asarray(np.stack(batch)))
             fc, att = np.asarray(fc), np.asarray(att)
-            for off, k in enumerate(range(i, j)):
+            for off, k in enumerate(idx):
                 _write(dir_fc, dir_att, ids[k], fc[off], att[off])
-        i = j
+        i += len(idx)
     return dir_fc, dir_att
 
 

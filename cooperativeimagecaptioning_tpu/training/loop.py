@@ -520,7 +520,15 @@ class Trainer:
             mesh = self.mesh if self.mesh is not None and all(
                 d.process_index == jax.process_index()
                 for d in self.mesh.devices.flat) else None
-            self._evaluator = Evaluator(self.opt, mesh=mesh)
+            # the HBM feature cache covers ALL images (built over range(N)),
+            # so checkpoint evals gather val/test features on device too —
+            # streaming them per eval batch over a thin host link costs more
+            # than the eval compute at protocol scale (5000 images ~ 1.5 GB)
+            self._evaluator = Evaluator(self.opt, mesh=mesh,
+                                        feat_cache=self._feat_cache)
+            if self._feat_cache is not None:
+                for s in ("val", "test"):
+                    self.loader.set_feature_free(s)
         return self._evaluator
 
     def checkpoint_operations(self):

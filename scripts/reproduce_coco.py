@@ -48,6 +48,112 @@ Missing inputs. The reference documents the downloads (README.md:41-56):
 """
 
 
+def check_layout(workdir, raw_json=""):
+    """Structured prepro-layout report for partial-download / partial-run
+    states.  Returns {artifact: {"state", "action", ...}} with states:
+
+      ok        — artifact complete and consistent
+      missing   — not there; `action` says what input builds it
+      partial   — one of a pair / a subset of files present; rebuild resumes
+      stale     — older than the raw json it derives from; rebuild
+      mismatch  — internally inconsistent (labels outside the vocab);
+                  must be deleted and rebuilt, never silently reused
+
+    main() consults this instead of ad-hoc isfile() checks, so every skip /
+    rebuild / abort decision is testable (tests/test_reproduce_coco.py)."""
+    data = os.path.join(workdir, "data")
+    talk_json = os.path.join(data, "cocotalk.json")
+    label_h5 = os.path.join(data, "cocotalk_label.h5")
+    idxs_p = os.path.join(data, "coco-train-idxs.p")
+    fc_dir = os.path.join(data, "cocotalk_fc")
+    att_dir = os.path.join(data, "cocobu_att")
+    if not os.path.isdir(att_dir):
+        att_dir = os.path.join(data, "cocotalk_att")
+    report = {}
+
+    def entry(state, action, **extra):
+        return {"state": state, "action": action, **extra}
+
+    # -- labels pair (cocotalk.json + cocotalk_label.h5) ---------------------
+    have_json, have_h5 = os.path.isfile(talk_json), os.path.isfile(label_h5)
+    n_images = vocab_size = None
+    if not have_json and not have_h5:
+        report["labels"] = entry(
+            "missing", "build from --raw-json (dataset_coco.json) via "
+            "preprocess.labels, or download data/cocotalk.{json,_label.h5}")
+    elif have_json != have_h5:
+        missing = label_h5 if have_json else talk_json
+        report["labels"] = entry(
+            "partial", f"{os.path.basename(missing)} absent — rebuilding the "
+            "pair from --raw-json (both are written together)")
+    else:
+        state, action = "ok", ""
+        if raw_json and os.path.isfile(raw_json) and \
+                os.path.getmtime(talk_json) < os.path.getmtime(raw_json):
+            state = "stale"
+            action = ("cocotalk.json is older than the raw json it derives "
+                      "from — rebuilding the labels pair")
+        else:
+            try:
+                import h5py
+                with open(talk_json) as f:
+                    talk = json.load(f)
+                vocab_size = len(talk["ix_to_word"])
+                n_images = len(talk["images"])
+                with h5py.File(label_h5, "r") as f:
+                    max_label = int(f["labels"][...].max())
+                # valid token ids are 1..vocab (0 = pad); a larger id means
+                # the h5 was built against a DIFFERENT vocab (mixed state)
+                if max_label > vocab_size:
+                    state = "mismatch"
+                    action = (f"label id {max_label} exceeds the json vocab "
+                              f"({vocab_size} words): cocotalk.json and "
+                              "cocotalk_label.h5 come from different builds "
+                              "— delete both and rebuild from --raw-json")
+            except Exception as e:  # unreadable artifact = rebuild-worthy
+                state = "mismatch"
+                action = f"unreadable labels pair ({e}) — delete and rebuild"
+        report["labels"] = entry(state, action, vocab_size=vocab_size,
+                                 n_images=n_images)
+
+    # -- ngram document frequencies ------------------------------------------
+    if not os.path.isfile(idxs_p):
+        report["ngrams"] = entry(
+            "missing", "build from --raw-json via preprocess.ngrams, or "
+            "download data/coco-train-idxs.p")
+    elif report["labels"]["state"] == "ok" and \
+            os.path.getmtime(idxs_p) < os.path.getmtime(talk_json):
+        report["ngrams"] = entry(
+            "stale", "coco-train-idxs.p predates cocotalk.json (ngrams are "
+            "indexed by its vocab) — rebuilding")
+    else:
+        report["ngrams"] = entry("ok", "")
+
+    # -- feature dirs ----------------------------------------------------------
+    have_fc, have_att = os.path.isdir(fc_dir), os.path.isdir(att_dir)
+    if not (have_fc and have_att):
+        report["feats"] = entry(
+            "missing", "extract from --images-root via preprocess.feats, or "
+            "download cocotalk_fc/ + cocobu_att/")
+    else:
+        n_fc = sum(1 for f in os.listdir(fc_dir) if f.endswith(".npy"))
+        n_att = sum(1 for f in os.listdir(att_dir)
+                    if f.endswith((".npz", ".npy")))
+        if n_images is not None and (n_fc < n_images or n_att < n_images):
+            report["feats"] = entry(
+                "partial", f"{n_fc}/{n_images} fc and {n_att}/{n_images} att "
+                "features present — re-running extraction (existing files "
+                "are kept and skipped)", n_fc=n_fc, n_att=n_att)
+        else:
+            report["feats"] = entry("ok", "", n_fc=n_fc, n_att=n_att)
+    return report
+
+
+def _report_lines(report):
+    return "\n".join(f"  {k:7s} {v['state']:8s} {v['action']}".rstrip()
+                     for k, v in report.items())
+
+
 def fabricate_synthetic_raw(workdir, n_images=24, size=48, vocab=40,
                             caps_per_image=5, seed=0):
     """Tiny Karpathy-format dataset json + random PNG images: the raw-input
@@ -136,14 +242,17 @@ def main(argv=None):
     if os.path.isdir(os.path.join(data, "cocobu_att")):
         att_dir = os.path.join(data, "cocobu_att")   # downloaded layout
 
-    # 0. layout check
-    have_feats = os.path.isdir(fc_dir) and os.path.isdir(att_dir)
-    if not args.raw_json and not (
-            os.path.isfile(talk_json) and have_feats):
-        sys.exit(DOWNLOAD_HINTS)
+    # 0. layout check (structured; every skip/rebuild decision below reads it)
+    report = check_layout(workdir, args.raw_json)
+    print("[layout]\n" + _report_lines(report), flush=True)
+    if report["labels"]["state"] == "mismatch":
+        sys.exit("inconsistent prepro layout:\n" + _report_lines(report))
+    if not args.raw_json and not (report["labels"]["state"] == "ok"
+                                  and report["feats"]["state"] == "ok"):
+        sys.exit(DOWNLOAD_HINTS + "\ncurrent layout:\n" + _report_lines(report))
 
     # 1. labels
-    if not (os.path.isfile(talk_json) and os.path.isfile(label_h5)):
+    if report["labels"]["state"] != "ok":
         if not args.raw_json:
             sys.exit(f"missing {label_h5} and no --raw-json to build it "
                      f"from (dataset_coco.json)\n" + DOWNLOAD_HINTS)
@@ -152,9 +261,10 @@ def main(argv=None):
         labels.main(["--input_json", args.raw_json,
                      "--output_json", talk_json,
                      "--output_h5", label_h5[: -len("_label.h5")]])
+        report = check_layout(workdir, args.raw_json)  # refresh downstream
     # 2. ngram document frequencies
     idxs_p = os.path.join(data, "coco-train-idxs.p")
-    if not os.path.isfile(idxs_p):
+    if report["ngrams"]["state"] != "ok":
         if not args.raw_json:
             sys.exit(f"missing {idxs_p} and no --raw-json to build it "
                      f"from (dataset_coco.json)\n" + DOWNLOAD_HINTS)
@@ -164,8 +274,8 @@ def main(argv=None):
                      "--dict_json", talk_json,
                      "--output_pkl", os.path.join(data, "coco-train"),
                      "--split", "train"])
-    # 3. features
-    if not have_feats:
+    # 3. features (partial dirs resume: extraction skips existing files)
+    if report["feats"]["state"] != "ok":
         if not args.images_root:
             sys.exit(DOWNLOAD_HINTS)
         from cooperativeimagecaptioning_tpu.preprocess import feats

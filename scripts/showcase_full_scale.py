@@ -90,10 +90,29 @@ def write_df_pickle(ds, name="synthtalk"):
     return name
 
 
-def run_stage(tag, opt, ds, iters, relative=False):
+def _traj_point(tr, turn, loss, it_s=None):
+    """One trajectory point from the just-recorded val_result_history entry
+    (checkpoint_operations stores {loss, lang_stats} keyed by iteration)."""
+    lang = tr.val_result_history.get(tr.iteration, {})
+    ls = lang.get("lang_stats") or {}
+    return {
+        "iteration": tr.iteration, "turn": turn,
+        "it_per_s": round(it_s, 2) if it_s else None,
+        "loss": round(float(loss), 4),
+        "val_loss": _val_loss(lang.get("loss")),
+        "CIDEr": ls.get("CIDEr"), "Bleu_4": ls.get("Bleu_4"),
+        "rsum": _rsum(lang.get("loss")),
+    }
+
+
+def run_stage(tag, opt, ds, iters, relative=False, deviations=None):
     """relative=True runs `iters` MORE iterations on top of a resumed
     counter (the joint stage inherits stage-2's iteration via the
-    copy_model seeding, reference semantics)."""
+    copy_model seeding, reference semantics).
+
+    deviations: dict of {flag: (value_used, reference_value)} protocol
+    deltas, stamped verbatim into the stage's result object so artifacts
+    claiming 'reference flag-set' carry their deltas machine-readably."""
     import faulthandler
     faulthandler.dump_traceback_later(600, repeat=True)  # stall diagnostics
     from cooperativeimagecaptioning_tpu.training.loop import Trainer
@@ -112,6 +131,8 @@ def run_stage(tag, opt, ds, iters, relative=False):
     t_lap, lap_iter0 = t_start, tr.iteration
     compiled_at = None
     last_ckpt = None
+    turn = None
+    loss_dict = {"loss": float("nan")}
     traj = []
     while tr.iteration < iters:
         loss_dict, turn, _ = tr.train_iteration()
@@ -130,30 +151,35 @@ def run_stage(tag, opt, ds, iters, relative=False):
             now = time.time()
             it_s = (tr.iteration - lap_iter0) / max(1e-9, now - t_lap)
             t_lap, lap_iter0 = time.time(), tr.iteration
-            lang = tr.val_result_history.get(tr.iteration, {})
-            ls = lang.get("lang_stats") or {}
-            point = {
-                "iteration": tr.iteration, "turn": turn,
-                "it_per_s": round(it_s, 2),
-                "loss": round(float(loss_dict["loss"]), 4),
-                "val_loss": _val_loss(lang.get("loss")),
-                "CIDEr": ls.get("CIDEr"), "Bleu_4": ls.get("Bleu_4"),
-                "rsum": _rsum(lang.get("loss")),
-            }
+            point = _traj_point(tr, turn, loss_dict["loss"], it_s)
             traj.append(point)
             print(f"[{tag}] " + " ".join(
                 f"{k}={v}" for k, v in point.items() if v is not None),
                 flush=True)
+    # ALWAYS close the stage with a recorded eval point: stages whose iter
+    # count never lands on a save_checkpoint_every boundary used to finish
+    # with trajectory=[] and their convergence claim lived only in logs
     if last_ckpt != tr.iteration:  # don't repeat a just-run full eval
         tr.checkpoint_operations()
+        it_s = (tr.iteration - lap_iter0) / max(1e-9, time.time() - t_lap)
+        point = _traj_point(tr, turn, loss_dict["loss"],
+                            it_s if tr.iteration > lap_iter0 else None)
+        traj.append(point)
+        print(f"[{tag}] final " + " ".join(
+            f"{k}={v}" for k, v in point.items() if v is not None),
+            flush=True)
     faulthandler.cancel_dump_traceback_later()
     tr.close()
     total = time.time() - t_start
-    steady = traj[-1]["it_per_s"] if traj else None
+    steady = max((p["it_per_s"] for p in traj if p.get("it_per_s")),
+                 default=None)
     print(f"[{tag}] done: {iters} iters in {total:.0f}s "
           f"(steady {steady} it/s)", flush=True)
-    return {"iters": iters, "total_s": round(total, 1),
-            "steady_it_per_s": steady, "trajectory": traj}
+    out = {"iters": iters, "total_s": round(total, 1),
+           "steady_it_per_s": steady, "trajectory": traj}
+    if deviations:
+        out["deviations"] = deviations
+    return out
 
 
 def _val_loss(v):
@@ -236,8 +262,13 @@ def main(argv=None):
                    start_from=s1 if os.listdir(s1) else None,
                    **{**S1_FLAGS, **common, "language_eval": 0,
                       "vse_max_violation": 0})
-    results["stage1_listener"] = run_stage("stage1", opt1, ds,
-                                           args.listener_iters)
+    results["stage1_listener"] = run_stage(
+        "stage1", opt1, ds, args.listener_iters,
+        deviations={"vse_max_violation": {
+            "used": 0, "reference": 1,
+            "why": "hardest-negative hinge does not escape random init on "
+                   "the derived synthetic geometry (VSE++ warm-up caveat); "
+                   "reference default stands on real COCO"}})
 
     # stage 2 — speaker MLE: the run_att.py flag-set verbatim
     from scripts.run_att import STAGE_FLAGS as S2_FLAGS

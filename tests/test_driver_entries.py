@@ -1,0 +1,89 @@
+"""Driver-entry robustness (round-3 verdict: both driver artifacts died with
+the TPU tunnel, one avoidably).
+
+- `__graft_entry__.dryrun_multichip` must force the CPU platform BEFORE any
+  `jax.devices()` call: probing the default platform initializes the axon
+  backend, and with the tunnel down that call wedges forever (the round-3
+  MULTICHIP rc=124).
+- `bench.py` must probe backend init in a subprocess with retry/backoff and
+  emit a parseable {"error": "tpu_unavailable"} JSON object on final failure,
+  never a traceback / rc!=0.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def test_ensure_devices_never_touches_default_platform():
+    """With JAX_PLATFORMS pointing at a backend that cannot initialize, any
+    device query that consults the default platform raises — so this passes
+    only if _ensure_devices selects cpu before its first jax.devices()."""
+    env = dict(os.environ, JAX_PLATFORMS="nonexistent_backend")
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g\n"
+         "g._ensure_devices(2)\n"
+         "import jax\n"
+         "ds = jax.devices()\n"
+         "assert len(ds) >= 2 and ds[0].platform == 'cpu', ds\n"
+         "print('GUARD_OK')\n"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "GUARD_OK" in r.stdout, (
+        r.stdout[-1000:], r.stderr[-2000:])
+
+
+def test_bench_emits_structured_error_when_backend_unavailable(
+        monkeypatch, capsys):
+    import bench
+    monkeypatch.setattr(bench, "_probe_backend", lambda *a, **k: None)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    obj = json.loads(out[-1])  # parseable single JSON line, not a traceback
+    assert obj["error"] == "tpu_unavailable"
+    assert obj["metric"] == "captions_per_sec_per_chip_beam1"
+    assert obj["value"] is None and obj["vs_baseline"] is None
+
+
+def test_probe_backend_retries_then_gives_up(monkeypatch):
+    import bench
+    calls = {"run": 0, "sleep": []}
+
+    def fake_run(*a, **k):
+        calls["run"] += 1
+        raise subprocess.TimeoutExpired(cmd="python", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", calls["sleep"].append)
+    assert bench._probe_backend(max_attempts=3, backoff_s=7.0) is None
+    assert calls["run"] == 3
+    assert calls["sleep"] == [7.0, 7.0]  # no sleep after the final attempt
+
+
+def test_probe_backend_parses_platform(monkeypatch):
+    import bench
+
+    class R:
+        returncode = 0
+        stdout = "some plugin warning noise\nPROBE_OK axon\n"
+        stderr = ""
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: R())
+    assert bench._probe_backend(max_attempts=1) == "axon"
+
+
+def test_probe_backend_real_subprocess():
+    """End-to-end probe in a real subprocess. The probe intentionally uses
+    the session's DEFAULT backend (that's what bench measures), and the axon
+    sitecustomize overrides JAX_PLATFORMS env in every child, so the result
+    is 'tpu' when the tunnel is up and 'cpu' otherwise — assert only that a
+    live platform came back parsed."""
+    import bench
+    platform = bench._probe_backend(max_attempts=1)
+    assert platform in ("cpu", "tpu"), platform

@@ -76,7 +76,7 @@ def test_showcase_full_scale_tiny_end_to_end(tmp_path):
     wd = str(tmp_path / "wd")
     res = sc.main([
         "--images", "24", "--batch", "4", "--vocab", "40", "--seq", "8",
-        "--listener-iters", "4", "--mle-iters", "4", "--joint-iters", "4",
+        "--listener-iters", "3", "--mle-iters", "4", "--joint-iters", "4",
         "--eval-every", "2", "--val-images-use", "4", "--workdir", wd,
         "--set", "rnn_size=24", "--set", "input_encoding_size=16",
         "--set", "att_hid_size=12", "--set", "vse_embed_size=16",
@@ -86,6 +86,13 @@ def test_showcase_full_scale_tiny_end_to_end(tmp_path):
     assert res["stage2_mle"]["trajectory"]
     assert res["stage3_joint"]["trajectory"]
     assert res["stage3_joint_d03"]["trajectory"]  # cooperative-dynamic stage
+    # stage 1 ran 3 iters with eval-every 2: the final point must have been
+    # recorded UNCONDITIONALLY at stage end (off the checkpoint cadence)
+    assert res["stage1_listener"]["trajectory"][-1]["iteration"] == 3
+    assert res["stage1_listener"]["trajectory"][-1]["rsum"] is not None
+    # protocol deltas from the reference flag-set are stamped in the artifact
+    assert res["stage1_listener"]["deviations"][
+        "vse_max_violation"]["used"] == 0
     for st in ("stage1_listener", "stage2_mle", "stage3_joint",
                "stage3_joint_d03"):
         for pt in res[st]["trajectory"]:

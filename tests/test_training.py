@@ -498,6 +498,40 @@ def test_feature_cache_bf16_and_cross_stage_extension():
     tr2.close()
 
 
+def test_eval_uses_feature_cache_and_matches_streaming(tmp_path):
+    """Checkpoint evals gather val features from the HBM cache on device
+    (round 4): predictions, val losses, and rank metrics must be identical
+    to the streaming path, and the val split must actually go feature-free
+    (the host link never ships eval features again)."""
+    import os
+    results = {}
+    for cache in (0, 1):
+        opt = tiny_opt(phase=2, caption_loss_weight=1, vse_loss_weight=0,
+                       device_feature_cache=cache, max_att_len=6,
+                       language_eval=1, rank_eval=1, val_images_use=4,
+                       checkpoint_path=str(tmp_path / f"c{cache}"))
+        os.makedirs(opt.checkpoint_path, exist_ok=True)
+        tr = Trainer(opt, dataset=tiny_dataset(opt), verbose=False)
+        tr.train_iteration()
+        tr.checkpoint_operations()
+        entry = tr.val_result_history[tr.iteration]
+        if cache:
+            assert tr._evaluator.feat_cache is not None
+            assert {"val", "test"} <= tr.loader.feature_free_splits
+            # feature-free val batches carry only dummy feature rows
+            tr.loader.reset_iterator("val")
+            data = tr.loader.get_batch("val")
+            assert data["fc_feats"].shape[1] == 1
+        results[cache] = entry
+        tr.close()
+    assert results[0]["predictions"] == results[1]["predictions"]
+    for k, v in results[0]["loss"].items():
+        if isinstance(v, float):
+            np.testing.assert_allclose(results[1]["loss"][k], v, rtol=1e-6,
+                                       err_msg=k)
+    assert results[0]["lang_stats"] == results[1]["lang_stats"]
+
+
 def test_fresh_seeded_joint_keeps_stage1_listener(tmp_path):
     """copy_model.sh seeding regression: a FRESH joint run dir seeded from the
     stage-2 checkpoint must bootstrap speaker=stage-2, listener=stage-1
