@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Time the FULL reference checkpoint-eval protocol at protocol scale.
+
+The reference evaluates every checkpoint on 5000 val images at beam=2 with
+language metrics AND generated-caption rank metrics (run_joint.sh:249-251,
+eval.py:33, eval_utils.py:415-542).  That cost bounds the checkpoint cadence
+of a real-COCO training run, and had never been timed end-to-end at full
+dims on the chip.  This script builds a synthetic 5000-val-image layout at
+the paper's full dimensions (att2in2 vocab 9487 / rnn 512 / K=36), runs the
+Trainer's exact checkpoint-eval path twice (first pass pays the jit
+compiles), and prints one JSON line with the phase timings.
+
+Run on the TPU:  python scripts/time_eval_protocol.py
+CPU smoke:       JAX_PLATFORMS=cpu python scripts/time_eval_protocol.py \
+                   --images 60 --val-images 16 --batch 8 --set rnn_size=32 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.showcase_full_scale import FULL_DIMS, VOCAB, SEQ_LEN, \
+    build_dataset, write_df_pickle
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--images", type=int, default=6000,
+                   help="total synthetic images (val split sized below)")
+    p.add_argument("--val-images", type=int, default=5000)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--beam", type=int, default=2)
+    p.add_argument("--workdir", default="/tmp/cic_eval_protocol")
+    p.add_argument("--vocab", type=int, default=VOCAB)
+    p.add_argument("--seq", type=int, default=SEQ_LEN)
+    p.add_argument("--set", action="append", default=[], metavar="K=V")
+    args = p.parse_args(argv)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    os.chdir(args.workdir)
+
+    from cooperativeimagecaptioning_tpu.config import (Options,
+                                                       parse_set_overrides)
+    from cooperativeimagecaptioning_tpu.training.loop import Trainer
+    from scripts.run_joint import joint_flags
+
+    dims = dict(FULL_DIMS)
+    overrides = parse_set_overrides(args.set)
+    dims.update({k: v for k, v in overrides.items() if k in dims})
+
+    # split layout: exactly the protocol's val size, a small train split for
+    # the df table / loader bookkeeping, remainder test
+    n_val = args.val_images
+    frac_val = n_val / args.images
+    frac_train = max(0.02, 1.0 - frac_val - 0.01)
+    ds = build_dataset(args.images, args.vocab, args.seq, dims)
+    # re-split: build_dataset uses the showcase default split; protocol
+    # timing wants val = args.val_images exactly
+    n_train = int(args.images * frac_train)
+    for ix, img in enumerate(ds.info["images"]):
+        img["split"] = ("train" if ix < n_train else
+                        "val" if ix < n_train + n_val else "test")
+    df_name = write_df_pickle(ds)
+
+    _, jf = joint_flags(discriminative=0.01, batch=args.batch, max_epochs=-1)
+    common = dict(batch_size=args.batch, language_eval=1,
+                  val_images_use=n_val, save_checkpoint_every=10**9,
+                  device_feature_cache=1, feature_cache_dtype="bf16", **dims)
+    common.update({k: v for k, v in overrides.items() if k not in dims})
+    ckdir = os.path.join(args.workdir, "ckpt")
+    os.makedirs(ckdir, exist_ok=True)
+    opt = Options(id="evalproto", phase=3, caption_model="att2in2",
+                  vse_model="fc", on_device_cider=1, cached_tokens=df_name,
+                  seq_per_img=1, rank_eval=1, rank_on_gen_captions=True,
+                  beam_size=args.beam, checkpoint_path=ckdir,
+                  **{**jf, **common})
+
+    t0 = time.time()
+    tr = Trainer(opt, dataset=ds, verbose=False)
+    t_setup = time.time() - t0
+    print(f"[evalproto] Trainer + HBM feature cache ready ({t_setup:.0f}s)",
+          flush=True)
+
+    ev = tr.evaluator()
+    eval_kwargs = {"split": "val", "dataset": opt.input_json}
+    eval_kwargs.update(vars(opt))
+
+    import faulthandler
+    faulthandler.dump_traceback_later(900, repeat=True)
+    timings = {}
+    stats = None
+    for label in ("compile", "steady"):
+        t1 = time.time()
+        val_loss, predictions, lang_stats = ev.eval_split(
+            tr._eval_params(), tr.loader, eval_kwargs,
+            use_gen_sent=opt.rank_on_gen_captions)
+        timings[label] = round(time.time() - t1, 1)
+        stats = {"n_predictions": len(predictions),
+                 "CIDEr": (lang_stats or {}).get("CIDEr"),
+                 "rsum": (val_loss.get("rsum")
+                          if isinstance(val_loss, dict) else None)}
+        print(f"[evalproto] {label} pass: {timings[label]}s "
+              f"({len(predictions)} captions)", flush=True)
+    faulthandler.cancel_dump_traceback_later()
+    tr.close()
+
+    import jax
+    out = {"protocol": {"val_images": n_val, "beam": args.beam,
+                        "batch": args.batch, "vocab": args.vocab,
+                        "language_eval": 1, "rank_on_gen_captions": True},
+           "platform": jax.devices()[0].platform,
+           "setup_s": round(t_setup, 1),
+           "eval_first_pass_s": timings["compile"],
+           "eval_steady_s": timings["steady"], **stats}
+    path = os.path.join(args.workdir, "eval_protocol_timing.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    main()

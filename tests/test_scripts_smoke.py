@@ -63,6 +63,31 @@ def test_run_att_cli(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_time_eval_protocol_tiny(tmp_path):
+    """The checkpoint-eval protocol timer end-to-end at reduced dims: builds
+    the re-split layout (val sized exactly), runs the Trainer's eval path
+    twice, and emits the timing json with both passes + quality keys."""
+    import json as _json
+    import os
+    from scripts import time_eval_protocol as tep
+
+    wd = str(tmp_path / "wd")
+    res = tep.main([
+        "--images", "40", "--val-images", "12", "--batch", "4",
+        "--vocab", "40", "--seq", "8", "--workdir", wd,
+        "--set", "rnn_size=24", "--set", "input_encoding_size=16",
+        "--set", "att_hid_size=12", "--set", "vse_embed_size=16",
+        "--set", "fc_feat_size=20", "--set", "att_feat_size=20",
+        "--set", "max_att_len=5", "--set", "drop_prob_lm=0.1"])
+    assert res["protocol"]["val_images"] == 12
+    assert res["n_predictions"] == 12
+    assert res["eval_first_pass_s"] >= res["eval_steady_s"] > 0
+    assert res["rsum"] is not None
+    out = _json.load(open(os.path.join(wd, "eval_protocol_timing.json")))
+    assert out["protocol"]["beam"] == 2
+
+
+@pytest.mark.slow
 def test_showcase_full_scale_tiny_end_to_end(tmp_path):
     """The flagship showcase script end-to-end at reduced dims: 3 stages
     (listener pretrain -> MLE -> joint gumbel + on-device CIDEr with the
