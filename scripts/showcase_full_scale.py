@@ -105,10 +105,12 @@ def _traj_point(tr, turn, loss, it_s=None):
     }
 
 
-def run_stage(tag, opt, ds, iters, relative=False, deviations=None):
-    """relative=True runs `iters` MORE iterations on top of a resumed
-    counter (the joint stage inherits stage-2's iteration via the
-    copy_model seeding, reference semantics).
+def run_stage(tag, opt, ds, iters, deviations=None):
+    """`iters` is the ABSOLUTE target iteration (the joint stages inherit
+    stage-2's counter via the copy_model seeding, reference semantics, so
+    their target is mle_iters + joint_iters computed by the caller — a
+    resumed mid-joint run must NOT re-add joint_iters on top of the resumed
+    counter).
 
     deviations: dict of {flag: (value_used, reference_value)} protocol
     deltas, stamped verbatim into the stage's result object so artifacts
@@ -123,8 +125,6 @@ def run_stage(tag, opt, ds, iters, relative=False, deviations=None):
     # RPC parks every thread in futex/socket wait with no signal (observed
     # mid-stage-2; CLAUDE.md wedge signature) — the periodic dump shows where
     faulthandler.dump_traceback_later(900, repeat=True)
-    if relative:
-        iters = tr.iteration + iters
     print(f"[{tag}] starting at iter {tr.iteration}, target {iters}",
           flush=True)
     t_start = time.time()
@@ -201,6 +201,38 @@ def _rsum(v):
         except (TypeError, ValueError):
             return None
     return None
+
+
+def joint_baseline_eval(opt3, ds, workdir):
+    """One full checkpoint eval of the SEEDED joint state — speaker =
+    stage-2-best, listener = stage-1-best, zero joint iterations — so the
+    cooperative claim (rank-on-generated-captions rsum rises during joint
+    training) has its reference point recorded in the artifact, not only
+    points from iteration >= first checkpoint.  Rebuilds the seed in a
+    scratch dir, so it is exact even when the real joint stages resume
+    mid-run (ref protocol: run_joint.sh:310-311 seeds, eval_utils.py:415-542
+    ranks)."""
+    import shutil
+    from cooperativeimagecaptioning_tpu.training.loop import Trainer
+    from scripts.run_joint import seed_checkpoint_dir
+    tmp = os.path.join(workdir, "joint_seed_baseline")
+    shutil.rmtree(tmp, ignore_errors=True)
+    seed_checkpoint_dir(tmp, opt3.speaker_stage_2_model_path, opt3.id)
+    opt = opt3.replace(checkpoint_path=tmp, start_from=tmp)
+    print("[baseline] evaluating the seeded joint state (0 joint iters)",
+          flush=True)
+    tr = Trainer(opt, dataset=ds, verbose=False)
+    tr.checkpoint_operations()
+    lang = tr.val_result_history.get(tr.iteration, {})
+    ls = lang.get("lang_stats") or {}
+    point = {"iteration": tr.iteration,
+             "val_loss": _val_loss(lang.get("loss")),
+             "CIDEr": ls.get("CIDEr"), "Bleu_4": ls.get("Bleu_4"),
+             "rsum": _rsum(lang.get("loss"))}
+    tr.close()
+    print("[baseline] " + " ".join(
+        f"{k}={v}" for k, v in point.items() if v is not None), flush=True)
+    return point
 
 
 def main(argv=None):
@@ -306,8 +338,12 @@ def main(argv=None):
         speaker_stage_2_optimizer_path=os.path.join(s2, "optimizer.pth"),
         initialize_retrieval=s1_model,
         **{**jf, **common})
-    results["stage3_joint"] = run_stage("stage3", opt3, ds, args.joint_iters,
-                                        relative=True)
+    # the joint stages inherit stage-2's iteration counter via the seeding,
+    # so their ABSOLUTE target is mle+joint (resume-safe: a run that died
+    # mid-joint must not re-add joint_iters on top of the resumed counter)
+    joint_target = args.mle_iters + args.joint_iters
+    results["joint_baseline"] = joint_baseline_eval(opt3, ds, args.workdir)
+    results["stage3_joint"] = run_stage("stage3", opt3, ds, joint_target)
 
     # stage 3b — cooperative-dynamic variant at a discriminative-heavy
     # weighting (gumbel D=0.3 / cider 0.7).  On the derived synthetic
@@ -325,7 +361,7 @@ def main(argv=None):
         opt3b = opt3.replace(checkpoint_path=s3b, start_from=s3b,
                              id="att_d0.3", **jf2)
         results["stage3_joint_d03"] = run_stage(
-            "stage3b", opt3b, ds, args.joint_iters, relative=True)
+            "stage3b", opt3b, ds, joint_target)
 
     harvest.create_dicts_and_json_after_training(opt3, dataset=ds)
     results["harvest"] = sorted(os.listdir(s3))[:40]

@@ -111,6 +111,12 @@ def test_showcase_full_scale_tiny_end_to_end(tmp_path):
     assert res["stage2_mle"]["trajectory"]
     assert res["stage3_joint"]["trajectory"]
     assert res["stage3_joint_d03"]["trajectory"]  # cooperative-dynamic stage
+    # the seeded (0-joint-iters) reference point for the cooperative claim
+    assert res["joint_baseline"]["rsum"] is not None
+    assert res["joint_baseline"]["iteration"] == 4  # stage-2's final iter
+    # joint stages end at the ABSOLUTE mle+joint target (resume-safe)
+    assert res["stage3_joint"]["trajectory"][-1]["iteration"] == 8
+    assert res["stage3_joint_d03"]["trajectory"][-1]["iteration"] == 8
     # stage 1 ran 3 iters with eval-every 2: the final point must have been
     # recorded UNCONDITIONALLY at stage end (off the checkpoint cadence)
     assert res["stage1_listener"]["trajectory"][-1]["iteration"] == 3
