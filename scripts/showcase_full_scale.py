@@ -98,7 +98,10 @@ def _traj_point(tr, turn, loss, it_s=None):
     return {
         "iteration": tr.iteration, "turn": turn,
         "it_per_s": round(it_s, 2) if it_s else None,
-        "loss": round(float(loss), 4),
+        # a resumed at-target stage records its final eval point without
+        # having run a step: loss is then NaN-initialized, not divergence —
+        # keep the artifact strict-JSON (null, never NaN)
+        "loss": round(float(loss), 4) if np.isfinite(float(loss)) else None,
         "val_loss": _val_loss(lang.get("loss")),
         "CIDEr": ls.get("CIDEr"), "Bleu_4": ls.get("Bleu_4"),
         "rsum": _rsum(lang.get("loss")),
@@ -243,6 +246,10 @@ def main(argv=None):
     p.add_argument("--listener-iters", type=int, default=1000)
     p.add_argument("--mle-iters", type=int, default=6000)
     p.add_argument("--joint-iters", type=int, default=3000)
+    p.add_argument("--joint-iters-d03", type=int, default=None,
+                   help="iterations for the D=0.3 variant stage (default: "
+                        "--joint-iters); the discriminative-axis recovery "
+                        "crosses its seeded baseline later than 3000 iters")
     p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--disc-variant", type=int, default=1,
                    help="also run the D=0.3 cooperative-dynamic joint stage")
@@ -361,7 +368,8 @@ def main(argv=None):
         opt3b = opt3.replace(checkpoint_path=s3b, start_from=s3b,
                              id="att_d0.3", **jf2)
         results["stage3_joint_d03"] = run_stage(
-            "stage3b", opt3b, ds, joint_target)
+            "stage3b", opt3b, ds,
+            args.mle_iters + (args.joint_iters_d03 or args.joint_iters))
 
     harvest.create_dicts_and_json_after_training(opt3, dataset=ds)
     results["harvest"] = sorted(os.listdir(s3))[:40]
