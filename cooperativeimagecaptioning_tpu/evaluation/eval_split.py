@@ -306,7 +306,12 @@ class Evaluator:
         loader.reset_iterator(split)
         img_embs, cap_embs, images_data = [], [], []
         n = 0
-        decode = self._decode_fn(1)
+        # the reference pins the gen-sent decode to greedy regardless of the
+        # eval sample settings (eval_utils.py:347: {'sample_max': 1,
+        # 'temperature': 1}); `gen_sample_max` is an opt-in extension that
+        # ranks SAMPLED captions instead (scripts/fixed_listener_rank.py —
+        # the distribution the joint objective optimizes), default = reference
+        decode = self._decode_fn(1, int(ek.get("gen_sample_max", 1)))
         V = opt.vocab_size
         while True:
             data = loader.get_batch(split)

@@ -155,7 +155,11 @@ def main(argv=None):
                 params["listener"] = frozen_listener
             ek = dict(eval_kwargs)
             if gen == "sample":
-                ek.update(sample_max=0, beam_size=1, temperature=1.0)
+                # sample_max=0 moves the language-metric decode to sampling;
+                # gen_sample_max=0 moves the rank eval's gen-sent decode too
+                # (the reference pins that one to greedy — eval_utils.py:347)
+                ek.update(sample_max=0, beam_size=1, temperature=1.0,
+                          gen_sample_max=0)
             val_loss, predictions, lang_stats = ev.eval_split(
                 params, tr.loader, ek, use_gen_sent=True)
             ls = lang_stats or {}

@@ -94,6 +94,27 @@ def test_encode_data_counts(tmp_path):
     assert img_g.shape[0] == n_val
 
 
+def test_encode_data_gen_sample_max(tmp_path):
+    """gen_sample_max=0 ranks SAMPLED captions (opt-in extension; the
+    reference pins the gen-sent decode to greedy, eval_utils.py:347, which
+    stays the default): image embeddings are generation-independent, caption
+    embeddings must differ for an untrained model."""
+    opt, loader, params = build(tmp_path)
+    ev = Evaluator(opt)
+    img_g, cap_g, _ = ev.encode_data(params, loader, {"split": "val"},
+                                     use_gen_sent=True)
+    img_s, cap_s, _ = ev.encode_data(
+        params, loader, {"split": "val", "gen_sample_max": 0},
+        use_gen_sent=True)
+    np.testing.assert_allclose(img_g, img_s, rtol=1e-5)
+    assert not np.allclose(cap_g, cap_s)
+    # and the default (no key) is bit-identical to explicit greedy
+    img_g2, cap_g2, _ = ev.encode_data(
+        params, loader, {"split": "val", "gen_sample_max": 1},
+        use_gen_sent=True)
+    np.testing.assert_array_equal(cap_g, cap_g2)
+
+
 def test_eval_split_sampling_modes(tmp_path, monkeypatch):
     """sample_max=0 (multinomial) and 2 (gumbel-noise max) eval protocols."""
     monkeypatch.chdir(tmp_path)

@@ -131,3 +131,21 @@ def test_showcase_full_scale_tiny_end_to_end(tmp_path):
     out = _json.load(open(os.path.join(wd, "showcase_full_scale.json")))
     assert out["dims"]["vocab"] == 40
     assert any(f.startswith("alternatingModel") for f in out["harvest"])
+
+    # the fixed-listener / sampled-caption rank grid over the same workdir
+    from scripts import fixed_listener_rank as flr
+    fr = flr.main([
+        "--workdir", wd, "--joint-dir", "joint_g03",
+        "--images", "24", "--batch", "4", "--vocab", "40", "--seq", "8",
+        "--val-images-use", "4",
+        "--conditions", "frozen-greedy,current-sample",
+        "--set", "rnn_size=24", "--set", "input_encoding_size=16",
+        "--set", "att_hid_size=12", "--set", "vse_embed_size=16",
+        "--set", "fc_feat_size=20", "--set", "att_feat_size=20",
+        "--set", "max_att_len=5", "--set", "drop_prob_lm=0.1"])
+    assert {p["condition"] for p in fr["points"]} == {
+        "frozen-greedy", "current-sample"}
+    assert fr["points"][0]["iteration"] == "seed"  # 0-joint-iters baseline
+    assert all(p["rsum"] is not None for p in fr["points"])
+    assert _json.load(open(os.path.join(
+        wd, "fixed_listener_rank_joint_g03.json")))["points"]
