@@ -66,7 +66,9 @@ def main(argv=None):
                    default="frozen-greedy,frozen-sample,"
                            "current-greedy,current-sample",
                    help="comma list of <listener>-<generation> conditions; "
-                        "listener: frozen|current, generation: greedy|sample")
+                        "listener: frozen|current, generation: greedy|sample"
+                        "|gt (gt ranks the GROUND-TRUTH captions — the "
+                        "listener-drift control)")
     args = p.parse_args(argv)
 
     os.chdir(args.workdir)
@@ -160,9 +162,16 @@ def main(argv=None):
                 # (the reference pins that one to greedy — eval_utils.py:347)
                 ek.update(sample_max=0, beam_size=1, temperature=1.0,
                           gen_sample_max=0)
-            val_loss, predictions, lang_stats = ev.eval_split(
-                params, tr.loader, ek, use_gen_sent=True)
-            ls = lang_stats or {}
+            if gen == "gt":
+                # control: rank GROUND-TRUTH captions with this listener —
+                # separates "the listener got generically better" from "the
+                # pair learned a caption-specific code"
+                val_loss, ls = ev.evalrank(params, tr.loader, ek,
+                                           use_gen_sent=False), {}
+            else:
+                val_loss, predictions, lang_stats = ev.eval_split(
+                    params, tr.loader, ek, use_gen_sent=True)
+                ls = lang_stats or {}
             pt = {"iteration": it, "condition": cond,
                   "rsum": _rsum(val_loss), "val_loss": _val_loss(val_loss),
                   "CIDEr": ls.get("CIDEr"), "Bleu_4": ls.get("Bleu_4"),
