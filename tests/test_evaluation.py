@@ -115,6 +115,21 @@ def test_encode_data_gen_sample_max(tmp_path):
     np.testing.assert_array_equal(cap_g, cap_g2)
 
 
+def test_gen_sample_max_flows_through_eval_split(tmp_path, monkeypatch):
+    """The full path eval_split -> evalrank -> encode_data honors
+    gen_sample_max (rank metrics can saturate at toy scale, so pin the
+    decode-program key instead of the scores)."""
+    monkeypatch.chdir(tmp_path)
+    opt, loader, params = build(tmp_path, language_eval=0)
+    ev = Evaluator(opt)
+    ev.eval_split(params, loader,
+                  {"split": "val", "num_images": -1, "gen_sample_max": 0},
+                  use_gen_sent=True)
+    # greedy program for the prediction loop, sampling program for the rank
+    # eval's gen-sent decode
+    assert (1, 0, 1.0) in ev._decode_fns, list(ev._decode_fns)
+
+
 def test_eval_split_sampling_modes(tmp_path, monkeypatch):
     """sample_max=0 (multinomial) and 2 (gumbel-noise max) eval protocols."""
     monkeypatch.chdir(tmp_path)
