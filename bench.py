@@ -168,7 +168,8 @@ def _probe_backend(max_attempts: int = 5, backoff_s: float = 60.0,
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    nums = [a for a in sys.argv[1:] if not a.startswith("-")]
+    batch = int(nums[0]) if nums else 8192
     skip_extras = "--fast" in sys.argv  # beam1 only (old default behavior)
     budget_s = 25 * 60.0  # wall budget: drop remaining extras past this
     t0 = time.time()
