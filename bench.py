@@ -133,7 +133,7 @@ def bench_train(batch: int = 128, iters: int = 30):
 
 
 def _probe_backend(max_attempts: int = 5, backoff_s: float = 60.0,
-                   probe_timeout_s: float = 240.0):
+                   probe_timeout_s: float = 240.0, env=None):
     """Probe backend init in a SUBPROCESS with a hard timeout: a dead axon
     tunnel either raises UNAVAILABLE or wedges the first device call forever
     (CLAUDE.md wedge signature), and even `import jax` stalls ~100s in plugin
@@ -150,7 +150,7 @@ def _probe_backend(max_attempts: int = 5, backoff_s: float = 60.0,
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                capture_output=True, text=True,
-                               timeout=probe_timeout_s)
+                               timeout=probe_timeout_s, env=env)
             for line in reversed(r.stdout.strip().splitlines()):
                 if line.startswith("PROBE_OK "):
                     return line.split(" ", 1)[1]
@@ -192,6 +192,25 @@ def main():
         batch = min(batch, 64)
     out = {"metric": "captions_per_sec_per_chip_beam1", "value": None,
            "unit": "captions/s", "vs_baseline": None, "platform": platform}
+
+    # mid-run wedge watchdog: a tunnel drop AFTER the probe parks the main
+    # thread inside a device call forever (CLAUDE.md wedge signature) — the
+    # try/excepts and the budget check between extras can never fire there.
+    # A plain-Python timer thread still runs; on the hard deadline it prints
+    # whatever numbers exist plus an error marker and exits 0, so the driver
+    # always gets a JSON line.
+    import threading
+
+    def _wedge_exit():
+        out["error"] = "tpu_wedged_mid_bench"
+        out["wall_s"] = round(time.time() - t0, 1)
+        print(json.dumps(out), flush=True)
+        import os
+        os._exit(0)
+
+    watchdog = threading.Timer(budget_s + 600.0, _wedge_exit)
+    watchdog.daemon = True
+    watchdog.start()
     try:
         best = bench_once(batch, dtype)
     except Exception as e:  # keep the driver run alive on any compile issue
@@ -226,6 +245,7 @@ def main():
             except Exception as e:
                 print(f"{key} failed: {e}", file=sys.stderr)
                 out[key + "_error"] = str(e)[:200]
+    watchdog.cancel()
     out["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(out))
 

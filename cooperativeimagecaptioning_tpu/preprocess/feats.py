@@ -84,9 +84,17 @@ def extract_to_dirs(params, images, ids, output_dir, att_size=14,
 
 
 def _write(dir_fc, dir_att, key, fc, att):
-    np.save(os.path.join(dir_fc, str(key)), np.asarray(fc, np.float32))
-    np.savez_compressed(os.path.join(dir_att, str(key)),
-                        feat=np.asarray(att, np.float32))
+    """Atomic artifact writes (tmp + rename): skip_existing's resume treats
+    an existing file as complete, so a crash / supervisor SIGKILL mid-write
+    must never leave a truncated .npy/.npz behind — it would be skipped
+    forever and crash training at np.load time."""
+    fc_tmp = os.path.join(dir_fc, f".{key}.tmp.npy")
+    np.save(fc_tmp, np.asarray(fc, np.float32))
+    os.replace(fc_tmp, os.path.join(dir_fc, f"{key}.npy"))
+    att_tmp = os.path.join(dir_att, f".{key}.tmp.npz")
+    with open(att_tmp, "wb") as f:
+        np.savez_compressed(f, feat=np.asarray(att, np.float32))
+    os.replace(att_tmp, os.path.join(dir_att, f"{key}.npz"))
 
 
 def _lin_weights(n_in, n_out):

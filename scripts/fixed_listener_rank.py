@@ -42,8 +42,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scripts.showcase_full_scale import FULL_DIMS, VOCAB, SEQ_LEN, \
-    build_dataset, write_df_pickle, _rsum, _val_loss
+from scripts.showcase_full_scale import VOCAB, SEQ_LEN, \
+    build_dataset, write_df_pickle, protocol_dims, _rsum, _val_loss
 
 
 def main(argv=None):
@@ -73,15 +73,12 @@ def main(argv=None):
 
     os.chdir(args.workdir)
 
-    from cooperativeimagecaptioning_tpu.config import (Options,
-                                                       parse_set_overrides)
+    from cooperativeimagecaptioning_tpu.config import Options
     from cooperativeimagecaptioning_tpu.training import checkpoint as ck
     from cooperativeimagecaptioning_tpu.training.loop import Trainer
     from scripts.run_joint import joint_flags
 
-    dims = dict(FULL_DIMS)
-    overrides = parse_set_overrides(args.set)
-    dims.update({k: v for k, v in overrides.items() if k in dims})
+    dims, extra = protocol_dims(args.set)
     ds = build_dataset(args.images, args.vocab, args.seq, dims)
     df_name = write_df_pickle(ds)
 
@@ -106,7 +103,7 @@ def main(argv=None):
         batch_size=args.batch, val_images_use=args.val_images_use,
         device_feature_cache=1, feature_cache_dtype="bf16",
         max_epochs=-1, save_checkpoint_every=10**9, **dims)
-    mine.update({k: v for k, v in overrides.items() if k not in dims})
+    mine.update(extra)
     opt = Options(**{**jf, **mine})
 
     tr = Trainer(opt, dataset=ds, verbose=False)

@@ -136,9 +136,11 @@ def check_layout(workdir, raw_json=""):
             "missing", "extract from --images-root via preprocess.feats, or "
             "download cocotalk_fc/ + cocobu_att/")
     else:
-        n_fc = sum(1 for f in os.listdir(fc_dir) if f.endswith(".npy"))
+        # dotfiles are in-flight atomic-write temps (preprocess/feats._write)
+        n_fc = sum(1 for f in os.listdir(fc_dir)
+                   if f.endswith(".npy") and not f.startswith("."))
         n_att = sum(1 for f in os.listdir(att_dir)
-                    if f.endswith((".npz", ".npy")))
+                    if f.endswith((".npz", ".npy")) and not f.startswith("."))
         if n_images is not None and (n_fc < n_images or n_att < n_images):
             report["feats"] = entry(
                 "partial", f"{n_fc}/{n_images} fc and {n_att}/{n_images} att "

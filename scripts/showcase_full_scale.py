@@ -51,6 +51,19 @@ FULL_DIMS = dict(
 VOCAB, SEQ_LEN = 9487, 16
 
 
+def protocol_dims(set_args):
+    """One source for the --set override split used by all three protocol
+    scripts (this one, time_eval_protocol, fixed_listener_rank): returns
+    (dims, extra) where dims = FULL_DIMS updated by the overrides that ARE
+    model dims, extra = the remaining overrides to merge into the Options
+    kwargs LAST (so --set wins over script defaults)."""
+    from cooperativeimagecaptioning_tpu.config import parse_set_overrides
+    overrides = parse_set_overrides(set_args)
+    dims = dict(FULL_DIMS)
+    dims.update({k: v for k, v in overrides.items() if k in dims})
+    return dims, {k: v for k, v in overrides.items() if k not in dims}
+
+
 def build_dataset(num_images, vocab=VOCAB, seq=SEQ_LEN, dims=None):
     from cooperativeimagecaptioning_tpu.data.sources import SyntheticDataset
     dims = dims or FULL_DIMS
@@ -267,10 +280,7 @@ def main(argv=None):
     from cooperativeimagecaptioning_tpu.config import Options
     from cooperativeimagecaptioning_tpu.evaluation import harvest
 
-    from cooperativeimagecaptioning_tpu.config import parse_set_overrides
-    dims = dict(FULL_DIMS)
-    overrides = parse_set_overrides(args.set)
-    dims.update({k: v for k, v in overrides.items() if k in dims})
+    dims, extra = protocol_dims(args.set)
     ds = build_dataset(args.images, args.vocab, args.seq, dims)
     df_name = write_df_pickle(ds)
     n_val = sum(1 for im in ds.info["images"] if im["split"] == "val")
@@ -280,7 +290,7 @@ def main(argv=None):
                   losses_log_every=100,
                   max_epochs=-1, device_feature_cache=1,
                   feature_cache_dtype="bf16", **dims)
-    common.update({k: v for k, v in overrides.items() if k not in dims})
+    common.update(extra)
     results = {"dims": dict(vocab=args.vocab, seq=args.seq, batch=args.batch,
                             images=args.images, **dims)}
 
@@ -367,9 +377,10 @@ def main(argv=None):
                              max_epochs=-1)
         opt3b = opt3.replace(checkpoint_path=s3b, start_from=s3b,
                              id="att_d0.3", **jf2)
+        d03_iters = args.joint_iters_d03 \
+            if args.joint_iters_d03 is not None else args.joint_iters
         results["stage3_joint_d03"] = run_stage(
-            "stage3b", opt3b, ds,
-            args.mle_iters + (args.joint_iters_d03 or args.joint_iters))
+            "stage3b", opt3b, ds, args.mle_iters + d03_iters)
 
     harvest.create_dicts_and_json_after_training(opt3, dataset=ds)
     results["harvest"] = sorted(os.listdir(s3))[:40]

@@ -25,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scripts.showcase_full_scale import FULL_DIMS, VOCAB, SEQ_LEN, \
+from scripts.showcase_full_scale import VOCAB, SEQ_LEN, \
     build_dataset, write_df_pickle
 
 
@@ -45,34 +45,37 @@ def main(argv=None):
     os.makedirs(args.workdir, exist_ok=True)
     os.chdir(args.workdir)
 
-    from cooperativeimagecaptioning_tpu.config import (Options,
-                                                       parse_set_overrides)
+    from cooperativeimagecaptioning_tpu.config import Options
     from cooperativeimagecaptioning_tpu.training.loop import Trainer
     from scripts.run_joint import joint_flags
+    from scripts.showcase_full_scale import protocol_dims
 
-    dims = dict(FULL_DIMS)
-    overrides = parse_set_overrides(args.set)
-    dims.update({k: v for k, v in overrides.items() if k in dims})
+    dims, extra = protocol_dims(args.set)
 
     # split layout: exactly the protocol's val size, a small train split for
     # the df table / loader bookkeeping, remainder test
     n_val = args.val_images
-    frac_val = n_val / args.images
-    frac_train = max(0.02, 1.0 - frac_val - 0.01)
     ds = build_dataset(args.images, args.vocab, args.seq, dims)
     # re-split: build_dataset uses the showcase default split; protocol
-    # timing wants val = args.val_images exactly
-    n_train = int(args.images * frac_train)
+    # timing wants val = args.val_images EXACTLY — otherwise the timing
+    # artifact's protocol.val_images field silently over-claims
+    n_train = int(args.images * max(0.02, 1.0 - n_val / args.images - 0.01))
+    n_train = min(n_train, args.images - n_val - 1)
+    if n_train < 1:
+        sys.exit(f"--images {args.images} cannot hold --val-images {n_val} "
+                 f"plus train/test splits; need images >= val+2")
     for ix, img in enumerate(ds.info["images"]):
         img["split"] = ("train" if ix < n_train else
                         "val" if ix < n_train + n_val else "test")
+    got_val = sum(1 for im in ds.info["images"] if im["split"] == "val")
+    assert got_val == n_val, (got_val, n_val)
     df_name = write_df_pickle(ds)
 
     _, jf = joint_flags(discriminative=0.01, batch=args.batch, max_epochs=-1)
     common = dict(batch_size=args.batch, language_eval=1,
                   val_images_use=n_val, save_checkpoint_every=10**9,
                   device_feature_cache=1, feature_cache_dtype="bf16", **dims)
-    common.update({k: v for k, v in overrides.items() if k not in dims})
+    common.update(extra)
     ckdir = os.path.join(args.workdir, "ckpt")
     os.makedirs(ckdir, exist_ok=True)
     opt = Options(id="evalproto", phase=3, caption_model="att2in2",

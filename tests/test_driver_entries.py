@@ -78,12 +78,47 @@ def test_probe_backend_parses_platform(monkeypatch):
     assert bench._probe_backend(max_attempts=1) == "axon"
 
 
-def test_probe_backend_real_subprocess():
-    """End-to-end probe in a real subprocess. The probe intentionally uses
-    the session's DEFAULT backend (that's what bench measures), and the axon
-    sitecustomize overrides JAX_PLATFORMS env in every child, so the result
-    is 'tpu' when the tunnel is up and 'cpu' otherwise — assert only that a
-    live platform came back parsed."""
+def test_bench_wedge_watchdog_armed_and_cancelled(monkeypatch, capsys):
+    """A tunnel wedge AFTER the probe parks the main thread in a device call
+    forever; bench must arm a plain-Python deadline timer that can still
+    emit the JSON line, and cancel it on the normal path."""
+    import threading
     import bench
-    platform = bench._probe_backend(max_attempts=1)
-    assert platform in ("cpu", "tpu"), platform
+    timers = []
+
+    class SpyTimer(threading.Timer):
+        def __init__(self, interval, fn):
+            super().__init__(interval, fn)
+            self.cancelled = False
+            timers.append(self)
+
+        def cancel(self):
+            self.cancelled = True
+            super().cancel()
+
+    monkeypatch.setattr(threading, "Timer", SpyTimer)  # bench imports the
+    # threading module inside main(), so patching the module attr reaches it
+    monkeypatch.setattr(bench, "_probe_backend", lambda *a, **k: "cpu")
+    monkeypatch.setattr(bench, "bench_once", lambda *a, **k: 123.0)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--fast"])
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    obj = json.loads(out)
+    assert obj["value"] == 123.0 and "error" not in obj
+    assert len(timers) == 1 and timers[0].cancelled
+    assert timers[0].interval > 600  # fires only past the wall budget
+
+
+def test_probe_backend_real_subprocess():
+    """End-to-end probe in a real subprocess, pinned to CPU by stripping the
+    axon sitecustomize from the child's PYTHONPATH: the default gate must
+    never depend on tunnel health (with the tunnel down, an axon child
+    either wedges for minutes or fails this test — round-4 review finding),
+    nor contend for the single real chip on every pytest run."""
+    import bench
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p) or REPO
+    platform = bench._probe_backend(max_attempts=1, env=env)
+    assert platform == "cpu", platform
