@@ -144,13 +144,19 @@ def main(argv=None):
     todo = [("seed", s2_model)] + ckpts
 
     points = []
+    gt_cache = {}  # (iteration, effective-listener) -> gt_ranks dict: every
+    # gen-sent eval_split already computes a full GT rank pass (stored as
+    # val_loss['gt_ranks']), so a 'gt' condition after a gen condition with
+    # the same listener is free
     for it, path in todo:
         base = ck.load_params_into(template, path)
         for cond in conditions:
             lst, gen = cond.split("-")
+            eff_lst = "frozen" if (lst == "frozen" or it == "seed") \
+                else "current"
             t0 = time.time()
             params = dict(base)
-            if lst == "frozen" or it == "seed":
+            if eff_lst == "frozen":
                 params["listener"] = frozen_listener
             ek = dict(eval_kwargs)
             if gen == "sample":
@@ -163,12 +169,18 @@ def main(argv=None):
                 # control: rank GROUND-TRUTH captions with this listener —
                 # separates "the listener got generically better" from "the
                 # pair learned a caption-specific code"
-                val_loss, ls = ev.evalrank(params, tr.loader, ek,
-                                           use_gen_sent=False), {}
+                val_loss = gt_cache.get((it, eff_lst))
+                if val_loss is None:
+                    val_loss = ev.evalrank(params, tr.loader, ek,
+                                           use_gen_sent=False)
+                ls = {}
             else:
                 val_loss, predictions, lang_stats = ev.eval_split(
                     params, tr.loader, ek, use_gen_sent=True)
                 ls = lang_stats or {}
+                if isinstance(val_loss, dict) and \
+                        isinstance(val_loss.get("gt_ranks"), dict):
+                    gt_cache[(it, eff_lst)] = val_loss["gt_ranks"]
             pt = {"iteration": it, "condition": cond,
                   "rsum": _rsum(val_loss), "val_loss": _val_loss(val_loss),
                   "CIDEr": ls.get("CIDEr"), "Bleu_4": ls.get("Bleu_4"),
