@@ -167,11 +167,15 @@ def _probe_backend(max_attempts: int = 5, backoff_s: float = 60.0,
     return None
 
 
+BUDGET_S = 25 * 60.0       # wall budget: drop remaining extras past this
+WATCHDOG_GRACE_S = 600.0   # hard-exit margin past the budget (wedge guard)
+
+
 def main():
     nums = [a for a in sys.argv[1:] if not a.startswith("-")]
     batch = int(nums[0]) if nums else 8192
     skip_extras = "--fast" in sys.argv  # beam1 only (old default behavior)
-    budget_s = 25 * 60.0  # wall budget: drop remaining extras past this
+    budget_s = BUDGET_S
     t0 = time.time()
     baseline = 5000.0  # north-star target captions/sec/chip (BASELINE.json)
 
@@ -208,7 +212,7 @@ def main():
         import os
         os._exit(0)
 
-    watchdog = threading.Timer(budget_s + 600.0, _wedge_exit)
+    watchdog = threading.Timer(budget_s + WATCHDOG_GRACE_S, _wedge_exit)
     watchdog.daemon = True
     watchdog.start()
     try:

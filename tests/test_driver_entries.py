@@ -109,6 +109,27 @@ def test_bench_wedge_watchdog_armed_and_cancelled(monkeypatch, capsys):
     assert timers[0].interval > 600  # fires only past the wall budget
 
 
+def test_bench_wedge_watchdog_fires(tmp_path):
+    """The fire path, end-to-end in a real subprocess: a device call that
+    never returns (the mid-run tunnel wedge) must still produce a parseable
+    JSON line with an error marker and rc=0 — the watchdog's whole point."""
+    code = (
+        "import time, sys\n"
+        "import bench\n"
+        "bench.BUDGET_S = 0.5\n"
+        "bench.WATCHDOG_GRACE_S = 1.0\n"
+        "bench._probe_backend = lambda *a, **k: 'cpu'\n"
+        "bench.bench_once = lambda *a, **k: time.sleep(600)\n"
+        "sys.argv = ['bench.py', '--fast']\n"
+        "bench.main()\n")
+    r = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, (r.returncode, r.stderr[-500:])
+    obj = json.loads(r.stdout.strip().splitlines()[-1])
+    assert obj["error"] == "tpu_wedged_mid_bench"
+    assert obj["value"] is None  # beam1 never finished
+
+
 def test_probe_backend_real_subprocess():
     """End-to-end probe in a real subprocess, pinned to CPU by stripping the
     axon sitecustomize from the child's PYTHONPATH: the default gate must
