@@ -98,19 +98,33 @@ def parse_tuples(caption: str):
         before a preposition) becomes an ATTRIBUTE of its subject — the
         paper's fig. 1 renders 'standing' as an attribute of 'girl';
       * copula + bare modifier ('the table is white') attaches the modifier
-        to the subject instead of minting a fake 'white' object."""
+        to the subject instead of minting a fake 'white' object;
+      * NP-and-NP conjuncts form a group and relations/verb attributes
+        distribute over it ('a man and a woman sitting on a bench' puts
+        both on the bench; 'a table with plates and cups' links both to
+        the table) — mirroring CoreNLP's enhanced conj:and propagation,
+        which the jar's scene-graph rules run on.  The propagation is
+        asymmetric like the enhanced dependencies: a left conjunct that
+        already carries its own verb blocks grouping ('a dog running and
+        a cat sleeping' stays two clauses), and a left conjunct that is a
+        relation OBJECT shares only that object role ('riding a horse and
+        a dog running' adds ride->dog but keeps 'running' on the dog)."""
     toks = _merge_multiword(caption.lower().split())
     chunks = []       # list of (attrs, head)
     relations = []    # (subj_chunk_idx, rel, obj_chunk_idx)
     verb_attrs = []   # (subj_chunk_idx, verb) — unconsumed verb relations
+    conj_pairs = []   # (left_chunk_idx, right_chunk_idx) NP-and-NP conjuncts
+    verb_subjects = set()  # chunk idxs that got their own verb attr/relation
+    rel_objects = set()    # chunk idxs that are the OBJECT of some relation
     cur = []
     pending_rel = None
     pending_subj = None
+    pending_conj = None  # chunk idx awaiting its 'and'/'or' partner NP
     rel_is_verb = False
     copula_subj = None  # chunk idx whose post-copula modifiers are attrs
 
     def close_chunk():
-        nonlocal cur, pending_rel, pending_subj, rel_is_verb
+        nonlocal cur, pending_rel, pending_subj, rel_is_verb, pending_conj
         if not cur:
             return
         if copula_subj is not None:
@@ -121,8 +135,14 @@ def parse_tuples(caption: str):
         head = cur[-1]
         attrs = cur[:-1]
         chunks.append((attrs, head))
+        if pending_conj is not None:
+            conj_pairs.append((pending_conj, len(chunks) - 1))
+            pending_conj = None
         if pending_rel is not None and pending_subj is not None:
             relations.append((pending_subj, pending_rel, len(chunks) - 1))
+            rel_objects.add(len(chunks) - 1)
+            if rel_is_verb:
+                verb_subjects.add(pending_subj)
             pending_rel = None
             rel_is_verb = False
         cur = []
@@ -133,6 +153,7 @@ def parse_tuples(caption: str):
         nonlocal pending_rel, rel_is_verb
         if pending_rel is not None and rel_is_verb and pending_subj is not None:
             verb_attrs.append((pending_subj, pending_rel))
+            verb_subjects.add(pending_subj)
         if rel_is_verb:
             pending_rel = None
             rel_is_verb = False
@@ -144,18 +165,28 @@ def parse_tuples(caption: str):
         elif tok in CONJUNCTIONS:
             close_chunk()
             flush_verb()
+            # NP-and-NP grouping: the chunk just closed awaits a partner.
+            # Clause-level conjunctions (while/as/that/...) never group, and
+            # neither does a left conjunct that already carries its own verb
+            # ('a dog RUNNING and a cat sleeping' is two clauses, not a pair)
+            pending_conj = len(chunks) - 1 \
+                if tok in ("and", "or") and chunks and copula_subj is None \
+                and (len(chunks) - 1) not in verb_subjects \
+                else None
         elif tok in PREPOSITIONS or " " in tok:
             close_chunk()
             flush_verb()
             copula_subj = None
+            pending_conj = None  # a relation intervened: 'and' was clausal
             if chunks:
                 pending_subj = len(chunks) - 1
                 pending_rel = tok
                 rel_is_verb = False
         elif _is_verb(tok):
-            close_chunk()
+            close_chunk()  # may mint the conjunct NP first (pair forms there)
             flush_verb()
             copula_subj = None
+            pending_conj = None
             if chunks:
                 pending_subj = len(chunks) - 1
                 if tok in COPULAS:
@@ -169,6 +200,32 @@ def parse_tuples(caption: str):
     close_chunk()
     flush_verb()
 
+    # Conjunct groups, asymmetric like CoreNLP's enhanced conj propagation:
+    # OBJECT roles distribute over every pair, but SUBJECT roles (verb attrs
+    # + relation subjects) only over pairs whose left member is not itself a
+    # relation object ('riding a horse and a dog' shares the ride edge with
+    # the dog without the dog's own modifiers leaking back to the horse).
+    def _union_find(pairs):
+        parent = list(range(len(chunks)))
+
+        def find(i):
+            while parent[i] != i:
+                i = parent[i]
+            return i
+
+        for i, j in pairs:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[rj] = ri
+        members = {}
+        for i in range(len(chunks)):
+            members.setdefault(find(i), []).append(i)
+        return lambda i: members[find(i)]
+
+    obj_group = _union_find(conj_pairs)
+    subj_group = _union_find([(i, j) for i, j in conj_pairs
+                              if i not in rel_objects])
+
     tuples = set()
     for attrs, head in chunks:
         h = stem(head)
@@ -176,11 +233,15 @@ def parse_tuples(caption: str):
         for a in attrs:
             tuples.add(("A", h, stem(a)))
     for si, verb in verb_attrs:
-        tuples.add(("A", stem(chunks[si][1]), stem(verb)))
+        for s in subj_group(si):
+            tuples.add(("A", stem(chunks[s][1]), stem(verb)))
     for si, rel, oi in relations:
         if si < len(chunks) and oi < len(chunks):
-            tuples.add(("R", stem(chunks[si][1]), _stem_rel(rel),
-                        stem(chunks[oi][1])))
+            for s in subj_group(si):
+                for o in obj_group(oi):
+                    if s != o:
+                        tuples.add(("R", stem(chunks[s][1]), _stem_rel(rel),
+                                    stem(chunks[o][1])))
     return tuples
 
 

@@ -161,21 +161,47 @@ std::vector<std::string> merge_multiword(const std::vector<std::string>& toks) {
   return out;
 }
 
+// union-find over NP-and-NP conjunct pairs -> per-chunk member lists
+std::vector<std::vector<int>> conj_groups(
+    int n, const std::vector<std::pair<int, int>>& pairs) {
+  std::vector<int> parent(n);
+  for (int i = 0; i < n; ++i) parent[i] = i;
+  auto find = [&](int i) {
+    while (parent[i] != i) i = parent[i];
+    return i;
+  };
+  for (auto& [i, j] : pairs) {
+    int ri = find(i), rj = find(j);
+    if (ri != rj) parent[rj] = ri;
+  }
+  std::vector<std::vector<int>> members(n);
+  for (int i = 0; i < n; ++i) members[find(i)].push_back(i);
+  std::vector<std::vector<int>> group(n);
+  for (int i = 0; i < n; ++i) group[i] = members[find(i)];
+  return group;
+}
+
 // tuples serialized as tagged strings: "O\x1f<head>", "A\x1f<head>\x1f<attr>",
 // "R\x1f<s>\x1f<rel>\x1f<o>".  Parse mirrors metrics/spice.py parse_tuples:
 // multiword preps are single edges; abandoned verb relations become subject
-// attributes; copula + bare modifiers attach to the subject.
+// attributes; copula + bare modifiers attach to the subject; NP-and-NP
+// conjuncts group, with relations/verb attributes distributing over the
+// group asymmetrically (see the Python docstring for the exact rules).
 void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
   auto toks = merge_multiword(tokenize_lower(caption));
   std::vector<std::pair<std::vector<std::string>, std::string>> chunks;
   std::vector<std::string> cur;
   int pending_subj = -1;
+  int pending_conj = -1;  // chunk idx awaiting its 'and'/'or' partner NP
   bool have_rel = false;
   bool rel_is_verb = false;
   int copula_subj = -1;
   std::string pending_rel;
   std::vector<std::tuple<int, std::string, int>> relations;
   std::vector<std::pair<int, std::string>> verb_attrs;
+  std::vector<std::pair<int, int>> conj_pairs;
+  std::set<int> verb_subjects;  // chunks that got their own verb attr/rel
+  std::set<int> rel_objects;    // chunks that are the OBJECT of a relation
 
   auto close_chunk = [&]() {
     if (cur.empty()) return;
@@ -189,9 +215,15 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
     std::string head = cur.back();
     std::vector<std::string> attrs(cur.begin(), cur.end() - 1);
     chunks.push_back({attrs, head});
+    if (pending_conj >= 0) {
+      conj_pairs.emplace_back(pending_conj, (int)chunks.size() - 1);
+      pending_conj = -1;
+    }
     if (have_rel && pending_subj >= 0) {
       relations.emplace_back(pending_subj, pending_rel,
                              (int)chunks.size() - 1);
+      rel_objects.insert((int)chunks.size() - 1);
+      if (rel_is_verb) verb_subjects.insert(pending_subj);
       have_rel = false;
       rel_is_verb = false;
     }
@@ -201,8 +233,10 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
   auto flush_verb = [&]() {
     // a pending VERB relation abandoned without an object chunk turns into
     // an attribute of its subject (prep relations just drop)
-    if (have_rel && rel_is_verb && pending_subj >= 0)
+    if (have_rel && rel_is_verb && pending_subj >= 0) {
       verb_attrs.emplace_back(pending_subj, pending_rel);
+      verb_subjects.insert(pending_subj);
+    }
     if (rel_is_verb) {
       have_rel = false;
       rel_is_verb = false;
@@ -216,11 +250,19 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
     } else if (conjunctions().count(tok)) {
       close_chunk();
       flush_verb();
+      // NP-and-NP grouping: clause-level conjunctions never group, and
+      // neither does a left conjunct that already carries its own verb
+      pending_conj = ((tok == "and" || tok == "or") && !chunks.empty() &&
+                      copula_subj < 0 &&
+                      !verb_subjects.count((int)chunks.size() - 1))
+                         ? (int)chunks.size() - 1
+                         : -1;
     } else if (prepositions().count(tok) ||
                tok.find(' ') != std::string::npos) {
       close_chunk();
       flush_verb();
       copula_subj = -1;
+      pending_conj = -1;  // a relation intervened: 'and' was clausal
       if (!chunks.empty()) {
         pending_subj = (int)chunks.size() - 1;
         pending_rel = tok;
@@ -228,9 +270,10 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
         rel_is_verb = false;
       }
     } else if (is_verb(tok)) {
-      close_chunk();
+      close_chunk();  // may mint the conjunct NP first (pair forms there)
       flush_verb();
       copula_subj = -1;
+      pending_conj = -1;
       if (!chunks.empty()) {
         pending_subj = (int)chunks.size() - 1;
         if (copulas().count(tok)) {
@@ -249,17 +292,30 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
   close_chunk();
   flush_verb();
 
+  // asymmetric conj propagation (mirrors metrics/spice.py): objects over
+  // every pair, subjects only over pairs whose left member is not itself a
+  // relation object
+  auto obj_group = conj_groups((int)chunks.size(), conj_pairs);
+  std::vector<std::pair<int, int>> subj_pairs;
+  for (auto& [i, j] : conj_pairs)
+    if (!rel_objects.count(i)) subj_pairs.emplace_back(i, j);
+  auto subj_group = conj_groups((int)chunks.size(), subj_pairs);
+
   for (auto& [attrs, head] : chunks) {
     std::string h = stem(head);
     tuples.insert("O\x1f" + h);
     for (auto& a : attrs) tuples.insert("A\x1f" + h + "\x1f" + stem(a));
   }
   for (auto& [si, verb] : verb_attrs)
-    tuples.insert("A\x1f" + stem(chunks[si].second) + "\x1f" + stem(verb));
+    for (int s : subj_group[si])
+      tuples.insert("A\x1f" + stem(chunks[s].second) + "\x1f" + stem(verb));
   for (auto& [si, rel, oi] : relations) {
     if (si < (int)chunks.size() && oi < (int)chunks.size())
-      tuples.insert("R\x1f" + stem(chunks[si].second) + "\x1f" +
-                    stem_rel(rel) + "\x1f" + stem(chunks[oi].second));
+      for (int s : subj_group[si])
+        for (int o : obj_group[oi])
+          if (s != o)
+            tuples.insert("R\x1f" + stem(chunks[s].second) + "\x1f" +
+                          stem_rel(rel) + "\x1f" + stem(chunks[o].second));
   }
 }
 

@@ -111,6 +111,58 @@ def test_conjunction_splits_objects():
                  ("A", "appl", "red"), ("A", "banana", "yellow")}
 
 
+def test_conjoined_subjects_distribute():
+    # CoreNLP's enhanced conj:and propagates the subject role across NP
+    # conjuncts — both people sit, both are on the bench
+    t = tuples("a man and a woman sitting on a bench")
+    assert t == {
+        ("O", "man"), ("O", "woman"), ("O", "bench"),
+        ("A", "man", "sit"), ("A", "woman", "sit"),
+        ("R", "man", "on", "bench"), ("R", "woman", "on", "bench"),
+    }
+
+
+def test_conjoined_objects_distribute():
+    t = tuples("a table with plates and cups")
+    assert t == {
+        ("O", "tabl"), ("O", "plate"), ("O", "cup"),
+        ("R", "tabl", "with", "plate"), ("R", "tabl", "with", "cup"),
+    }
+
+
+def test_conjunction_chain_distributes():
+    t = tuples("a man and a woman and a child standing")
+    assert ("A", "man", "stand") in t
+    assert ("A", "woman", "stand") in t
+    assert ("A", "child", "stand") in t
+
+
+def test_clausal_conjunction_does_not_group():
+    # 'a dog running and a cat sleeping' is two clauses: the left conjunct
+    # already carries its own verb, so nothing distributes
+    t = tuples("a dog running and a cat sleeping")
+    assert t == {("O", "dog"), ("O", "cat"),
+                 ("A", "dog", "run"), ("A", "cat", "sleep")}
+
+
+def test_object_conjunct_shares_object_role_only():
+    # enhanced deps copy the OBJECT role to the second conjunct (ride->dog)
+    # but the second conjunct's own modifier does not leak back to the first
+    t = tuples("a man riding a horse and a dog running")
+    assert ("R", "man", "ride", "hors") in t
+    assert ("R", "man", "ride", "dog") in t
+    assert ("A", "dog", "run") in t
+    assert ("A", "hors", "run") not in t
+
+
+def test_conj_then_verb_no_grouping():
+    # a verb right after 'and' cancels NP grouping (clausal coordination)
+    t = tuples("a cat sits and jumps over a fence")
+    assert t == {("O", "cat"), ("O", "fenc"),
+                 ("A", "cat", "sit"), ("A", "cat", "jump"),
+                 ("R", "cat", "over", "fenc")}
+
+
 def test_pronouns_never_become_objects():
     t = tuples("there is a cat and it is black")
     assert ("O", "cat") in t
@@ -123,6 +175,10 @@ def test_pronouns_never_become_objects():
     "the table is white and round",
     "there is a cat and it is black",
     "a bird in front of a window next to a tree",
+    "a man and a woman sitting on a bench",
+    "a table with plates and cups",
+    "a man riding a horse and a dog running",
+    "a dog running and a cat sleeping",
 ])
 def test_cpp_tier_parity_on_golden_cases(caption):
     from cooperativeimagecaptioning_tpu.native import bindings
