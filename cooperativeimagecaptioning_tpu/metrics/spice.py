@@ -59,6 +59,38 @@ MULTIWORD_PREPS = (("on", "top", "of"), ("in", "front", "of"),
 # chunk-boundary treatment mirrors determiners
 PRONOUNS = {"there", "it", "he", "she", "they", "we", "you", "i",
             "them", "him", "us", "me", "itself", "himself", "herself"}
+# passive voice: '<patient> (is) <participle> by <agent>' inverts to the
+# active relation (CoreNLP's nsubjpass+agent edges, which the jar's scene
+# graph renders as verb(agent, patient)).  Irregular participles map to the
+# base form so the relation stem matches active-voice references ('thrown'
+# and 'throwing'/'throws' all land on 'throw'); regular -ed forms keep the
+# surface token (the Porter stem already strips -ed).
+IRREGULAR_PARTICIPLES = {
+    "thrown": "throw", "eaten": "eat", "worn": "wear", "ridden": "ride",
+    "driven": "drive", "drawn": "draw", "broken": "break", "hidden": "hide",
+    "written": "write", "taken": "take", "given": "give", "made": "make",
+    "held": "hold", "hung": "hang", "seen": "see", "caught": "catch",
+    "built": "build", "flown": "fly", "grown": "grow", "shown": "show",
+    "done": "do", "torn": "tear", "lit": "light", "brought": "bring",
+    "bought": "buy", "sold": "sell", "blown": "blow",
+    "frozen": "freeze", "beaten": "beat", "bitten": "bite",
+    "chosen": "choose", "woven": "weave", "swung": "swing",
+}
+# ('left' is deliberately absent: 'the man on the left by the window' is a
+#  noun use far more common in captions than the leave-passive.)
+# participles whose following 'by' is locative, not an agent marker
+# ('a car parked by a fence' must stay park(car) + by(car, fence))
+LOCATIVE_BY_PARTICIPLES = {"parked", "stopped", "docked", "moored"}
+
+
+def _participle_base(tok: str):
+    """Base verb if tok can be an agent-taking past participle, else None."""
+    if tok in IRREGULAR_PARTICIPLES:
+        return IRREGULAR_PARTICIPLES[tok]
+    if tok.endswith("ed") and len(tok) > 3 \
+            and tok not in LOCATIVE_BY_PARTICIPLES:
+        return tok
+    return None
 
 
 def _is_verb(tok: str) -> bool:
@@ -108,7 +140,16 @@ def parse_tuples(caption: str):
         already carries its own verb blocks grouping ('a dog running and
         a cat sleeping' stays two clauses), and a left conjunct that is a
         relation OBJECT shares only that object role ('riding a horse and
-        a dog running' adds ride->dog but keeps 'running' on the dog)."""
+        a dog running' adds ride->dog but keeps 'running' on the dog);
+      * passive voice with an agent ('a ball is thrown by a man', reduced
+        relative 'a frisbee thrown by a man') inverts to the active
+        relation throw(man, ball) — CoreNLP's nsubjpass+agent edges, which
+        the jar's scene-graph rules render as verb(agent, patient).
+        Detected by one-token lookahead (participle followed by 'by'), so
+        every other participle keeps the attribute behavior ('the door is
+        closed' -> close(door)); locative-'by' participles ('a car parked
+        by a fence') are excluded, and conjoined agents distribute
+        ('thrown by a man and a woman' -> both throw)."""
     toks = _merge_multiword(caption.lower().split())
     chunks = []       # list of (attrs, head)
     relations = []    # (subj_chunk_idx, rel, obj_chunk_idx)
@@ -121,10 +162,12 @@ def parse_tuples(caption: str):
     pending_subj = None
     pending_conj = None  # chunk idx awaiting its 'and'/'or' partner NP
     rel_is_verb = False
+    rel_swap = False    # passive: emit (new_chunk, rel, pending_subj) instead
     copula_subj = None  # chunk idx whose post-copula modifiers are attrs
 
     def close_chunk():
-        nonlocal cur, pending_rel, pending_subj, rel_is_verb, pending_conj
+        nonlocal cur, pending_rel, pending_subj, rel_is_verb, pending_conj, \
+            rel_swap
         if not cur:
             return
         if copula_subj is not None:
@@ -139,26 +182,55 @@ def parse_tuples(caption: str):
             conj_pairs.append((pending_conj, len(chunks) - 1))
             pending_conj = None
         if pending_rel is not None and pending_subj is not None:
-            relations.append((pending_subj, pending_rel, len(chunks) - 1))
-            rel_objects.add(len(chunks) - 1)
-            if rel_is_verb:
-                verb_subjects.add(pending_subj)
+            if rel_swap:
+                # passive agent: the NEW chunk is the relation subject and
+                # the patient (pending_subj) the object — throw(man, ball)
+                relations.append((len(chunks) - 1, pending_rel, pending_subj))
+                rel_objects.add(pending_subj)
+            else:
+                relations.append((pending_subj, pending_rel, len(chunks) - 1))
+                rel_objects.add(len(chunks) - 1)
+                if rel_is_verb:
+                    verb_subjects.add(pending_subj)
             pending_rel = None
             rel_is_verb = False
+            rel_swap = False
         cur = []
 
     def flush_verb():
         # a pending VERB relation abandoned without an object chunk turns
         # into an attribute of its subject (prep relations just drop)
-        nonlocal pending_rel, rel_is_verb
+        nonlocal pending_rel, rel_is_verb, rel_swap
         if pending_rel is not None and rel_is_verb and pending_subj is not None:
             verb_attrs.append((pending_subj, pending_rel))
             verb_subjects.add(pending_subj)
         if rel_is_verb:
             pending_rel = None
             rel_is_verb = False
+            rel_swap = False
 
-    for tok in toks:
+    i = 0
+    while i < len(toks):
+        tok = toks[i]
+        base = _participle_base(tok)
+        if base is not None and i + 1 < len(toks) and toks[i + 1] == "by":
+            # passive agent: '<patient> <participle> by <agent>'.  The
+            # patient is the chunk being built (or the copula subject);
+            # the agent NP that follows completes the inverted relation
+            # in close_chunk.  The 'by' token is consumed here.
+            close_chunk()
+            flush_verb()
+            copula_subj = None
+            pending_conj = None
+            if chunks:
+                pending_subj = len(chunks) - 1
+                pending_rel = base
+                rel_is_verb = True
+                rel_swap = True
+                i += 2
+                continue
+            # no patient chunk to invert around: fall through and let the
+            # participle behave as a plain word
         if tok in DETERMINERS or tok in PRONOUNS:
             close_chunk()
             copula_subj = None
@@ -182,6 +254,7 @@ def parse_tuples(caption: str):
                 pending_subj = len(chunks) - 1
                 pending_rel = tok
                 rel_is_verb = False
+                rel_swap = False
         elif _is_verb(tok):
             close_chunk()  # may mint the conjunct NP first (pair forms there)
             flush_verb()
@@ -195,8 +268,10 @@ def parse_tuples(caption: str):
                 else:
                     pending_rel = tok
                     rel_is_verb = True
+                rel_swap = False
         else:
             cur.append(tok)
+        i += 1
     close_chunk()
     flush_verb()
 

@@ -12,6 +12,7 @@
 #include <algorithm>
 #include <tuple>
 #include <cstring>
+#include <map>
 #include <set>
 #include <string>
 #include <vector>
@@ -93,6 +94,40 @@ bool is_verb(const std::string& tok) {
       !noun_ing_exceptions().count(tok))
     return true;
   return false;
+}
+
+// passive voice (mirrors metrics/spice.py IRREGULAR_PARTICIPLES /
+// LOCATIVE_BY_PARTICIPLES): '<patient> (is) <participle> by <agent>'
+// inverts to the active relation verb(agent, patient)
+const std::map<std::string, std::string>& irregular_participles() {
+  static std::map<std::string, std::string> m = {
+      {"thrown", "throw"},   {"eaten", "eat"},    {"worn", "wear"},
+      {"ridden", "ride"},    {"driven", "drive"}, {"drawn", "draw"},
+      {"broken", "break"},   {"hidden", "hide"},  {"written", "write"},
+      {"taken", "take"},     {"given", "give"},   {"made", "make"},
+      {"held", "hold"},      {"hung", "hang"},    {"seen", "see"},
+      {"caught", "catch"},   {"built", "build"},  {"flown", "fly"},
+      {"grown", "grow"},     {"shown", "show"},   {"done", "do"},
+      {"torn", "tear"},      {"lit", "light"},    {"brought", "bring"},
+      {"bought", "buy"},     {"sold", "sell"},    {"blown", "blow"},
+      {"frozen", "freeze"},  {"beaten", "beat"},  {"bitten", "bite"},
+      {"chosen", "choose"},  {"woven", "weave"},  {"swung", "swing"}};
+  return m;
+}
+
+const std::set<std::string>& locative_by_participles() {
+  static std::set<std::string> s = {"parked", "stopped", "docked", "moored"};
+  return s;
+}
+
+// base verb if tok can be an agent-taking past participle, else ""
+std::string participle_base(const std::string& tok) {
+  auto it = irregular_participles().find(tok);
+  if (it != irregular_participles().end()) return it->second;
+  if (tok.size() > 3 && tok.compare(tok.size() - 2, 2, "ed") == 0 &&
+      !locative_by_participles().count(tok))
+    return tok;
+  return "";
 }
 
 std::vector<std::string> tokenize_lower(const std::string& s) {
@@ -195,6 +230,7 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
   int pending_conj = -1;  // chunk idx awaiting its 'and'/'or' partner NP
   bool have_rel = false;
   bool rel_is_verb = false;
+  bool rel_swap = false;  // passive: emit (new_chunk, rel, pending_subj)
   int copula_subj = -1;
   std::string pending_rel;
   std::vector<std::tuple<int, std::string, int>> relations;
@@ -220,12 +256,21 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
       pending_conj = -1;
     }
     if (have_rel && pending_subj >= 0) {
-      relations.emplace_back(pending_subj, pending_rel,
-                             (int)chunks.size() - 1);
-      rel_objects.insert((int)chunks.size() - 1);
-      if (rel_is_verb) verb_subjects.insert(pending_subj);
+      if (rel_swap) {
+        // passive agent: the NEW chunk is the relation subject and the
+        // patient (pending_subj) the object — throw(man, ball)
+        relations.emplace_back((int)chunks.size() - 1, pending_rel,
+                               pending_subj);
+        rel_objects.insert(pending_subj);
+      } else {
+        relations.emplace_back(pending_subj, pending_rel,
+                               (int)chunks.size() - 1);
+        rel_objects.insert((int)chunks.size() - 1);
+        if (rel_is_verb) verb_subjects.insert(pending_subj);
+      }
       have_rel = false;
       rel_is_verb = false;
+      rel_swap = false;
     }
     cur.clear();
   };
@@ -240,10 +285,32 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
     if (rel_is_verb) {
       have_rel = false;
       rel_is_verb = false;
+      rel_swap = false;
     }
   };
 
-  for (const auto& tok : toks) {
+  for (size_t i = 0; i < toks.size(); ++i) {
+    const std::string& tok = toks[i];
+    std::string base = participle_base(tok);
+    if (!base.empty() && i + 1 < toks.size() && toks[i + 1] == "by") {
+      // passive agent: '<patient> <participle> by <agent>'; the 'by'
+      // token is consumed here and the agent NP completes the inverted
+      // relation in close_chunk
+      close_chunk();
+      flush_verb();
+      copula_subj = -1;
+      pending_conj = -1;
+      if (!chunks.empty()) {
+        pending_subj = (int)chunks.size() - 1;
+        pending_rel = base;
+        have_rel = true;
+        rel_is_verb = true;
+        rel_swap = true;
+        ++i;  // skip the 'by'
+        continue;
+      }
+      // no patient chunk to invert around: fall through (plain word)
+    }
     if (determiners().count(tok) || pronouns().count(tok)) {
       close_chunk();
       copula_subj = -1;
@@ -268,6 +335,7 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
         pending_rel = tok;
         have_rel = true;
         rel_is_verb = false;
+        rel_swap = false;
       }
     } else if (is_verb(tok)) {
       close_chunk();  // may mint the conjunct NP first (pair forms there)
@@ -284,6 +352,7 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
           have_rel = true;
           rel_is_verb = true;
         }
+        rel_swap = false;
       }
     } else {
       cur.push_back(tok);

@@ -169,6 +169,50 @@ def test_pronouns_never_become_objects():
     assert ("O", "there") not in t and ("O", "it") not in t
 
 
+def test_passive_with_agent_inverts():
+    # nsubjpass+agent: the scene graph renders throw(man, ball)
+    t = tuples("a ball is thrown by a man")
+    assert t == {("O", "ball"), ("O", "man"), ("R", "man", "throw", "ball")}
+
+
+def test_reduced_relative_passive():
+    t = tuples("a frisbee being thrown by a man in a park")
+    assert ("R", "man", "throw", "frisbe") in t
+    assert ("R", "man", "in", "park") in t
+
+
+def test_passive_matches_active_voice():
+    # the whole point of the inversion: active and passive phrasings of the
+    # same scene produce the same relation tuple
+    active = tuples("a man throwing a ball")
+    passive = tuples("a ball thrown by a man")
+    assert ("R", "man", "throw", "ball") in active
+    assert ("R", "man", "throw", "ball") in passive
+
+
+def test_regular_ed_participle_passive():
+    t = tuples("a cake decorated by a child")
+    assert ("R", "child", "decor", "cake") in t
+
+
+def test_conjoined_agents_distribute():
+    t = tuples("a ball thrown by a man and a woman")
+    assert ("R", "man", "throw", "ball") in t
+    assert ("R", "woman", "throw", "ball") in t
+
+
+def test_locative_by_is_not_an_agent():
+    # 'parked by' is locative: park stays on the car, 'by' stays a relation
+    t = tuples("a car parked by a fence")
+    assert t == {("O", "car"), ("O", "fenc"),
+                 ("A", "car", "park"), ("R", "car", "by", "fenc")}
+
+
+def test_participle_without_by_stays_attribute():
+    t = tuples("the door is closed")
+    assert t == {("O", "door"), ("A", "door", "close")}
+
+
 @pytest.mark.parametrize("caption", [
     "a young girl standing on top of a tennis court",
     "two women are sitting at a white table",
@@ -179,6 +223,11 @@ def test_pronouns_never_become_objects():
     "a table with plates and cups",
     "a man riding a horse and a dog running",
     "a dog running and a cat sleeping",
+    "a ball is thrown by a man",
+    "a frisbee being thrown by a man in a park",
+    "a cake decorated by a child",
+    "a ball thrown by a man and a woman",
+    "a car parked by a fence",
 ])
 def test_cpp_tier_parity_on_golden_cases(caption):
     from cooperativeimagecaptioning_tpu.native import bindings
