@@ -162,8 +162,9 @@ _FLAGS = [
                                         "the device gather)"),
     ("meteor_data_dir", str, "", "dir with the METEOR 1.5 jar's data files "
                                  "(function.words / synonyms.txt / "
-                                 "paraphrase-en.gz); activates the synonym + "
-                                 "paraphrase stages (exported as "
+                                 "paraphrase-en.gz); activates the METEOR "
+                                 "synonym + paraphrase stages and SPICE-lite "
+                                 "synset tuple matching (exported as "
                                  "CIC_METEOR_DATA)"),
     ("seed", int, 123, "global PRNG seed"),
     ("profile_dir", str, "", "jax profiler trace dir (empty = off)"),

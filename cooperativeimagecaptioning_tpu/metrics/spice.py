@@ -13,12 +13,22 @@ a rule-based shallow parse tuned for caption-style English:
     Relation) in the same output contract as the jar
     ({'All': {'f','p','r'}, 'Object': ..., ...}).
 
-Documented divergence: no WordNet synonym matching, no trained parser — scores
-are comparable across models evaluated with this implementation, not with
-jar-computed numbers.
+Synonym matching (the jar's WordNet-synset tuple equivalence) is data-gated
+like METEOR's synonym stage: supply synset groups via CIC_SPICE_SYNONYMS
+(a synonyms.txt: one whitespace-separated word group per line) or reuse
+$CIC_METEOR_DATA/synonyms.txt, and tuples match element-wise by
+stem-equality OR shared synset — exactly the jar's matching rule.  WordNet
+itself is a missing blob upstream, so without data the matcher reduces
+bit-identically to exact stem matching.
+
+Documented divergence: no trained dependency parser — scores are comparable
+across models evaluated with this implementation, not with jar-computed
+numbers.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -320,12 +330,94 @@ def parse_tuples(caption: str):
     return tuples
 
 
-def _f1(cand: set, ref: set):
+# --- synonym matching (data-gated; the jar's WordNet tuple equivalence) ---
+
+_SYNONYMS = None   # None = not loaded yet; {} = no data; {stem: frozenset(gid)}
+
+
+def _build_synonyms(groups):
+    """Word groups -> {stem: frozenset(group ids)} (stems may recur)."""
+    table = {}
+    gid = 0
+    for group in groups:
+        stems = {stem(w.lower()) for w in group}
+        if len(stems) < 2:
+            continue  # a single-stem group can never change a match
+        for s in stems:
+            table.setdefault(s, set()).add(gid)
+        gid += 1
+    return {k: frozenset(v) for k, v in table.items()}
+
+
+def configure_synonyms(groups=None, path=None):
+    """Activate synset matching from word groups or a synonyms.txt (one
+    whitespace-separated group per line).  None/empty clears back to exact
+    matching.  The native tier is kept in lockstep."""
+    global _SYNONYMS
+    if path is not None:
+        with open(path, encoding="utf-8") as f:
+            groups = [line.split() for line in f if len(line.split()) > 1]
+    _SYNONYMS = _build_synonyms(groups) if groups else {}
+    _push_native_synonyms(groups or [])
+    return _SYNONYMS
+
+
+def _synonyms():
+    """Lazy env-configured table: CIC_SPICE_SYNONYMS file, else
+    $CIC_METEOR_DATA/synonyms.txt (one WordNet materialization serves both
+    METEOR and SPICE)."""
+    global _SYNONYMS
+    if _SYNONYMS is None:
+        path = os.environ.get("CIC_SPICE_SYNONYMS", "")
+        if not path:
+            d = os.environ.get("CIC_METEOR_DATA", "")
+            cand = os.path.join(d, "synonyms.txt") if d else ""
+            path = cand if cand and os.path.isfile(cand) else ""
+        if path and os.path.isfile(path):
+            configure_synonyms(path=path)
+        else:
+            _SYNONYMS = {}
+    return _SYNONYMS
+
+
+def _push_native_synonyms(groups):
+    """Mirror the active groups into the C++ tier (no-op if unavailable)."""
+    try:
+        from cooperativeimagecaptioning_tpu.native import bindings
+        if bindings.available():
+            bindings.spice_configure(groups)
+    except Exception:
+        pass
+
+
+def _elem_match(a: str, b: str, syn: dict) -> bool:
+    if a == b:
+        return True
+    ga = syn.get(a)
+    return bool(ga) and not ga.isdisjoint(syn.get(b, frozenset()))
+
+
+def _tuple_match(c: tuple, r: tuple, syn: dict) -> bool:
+    """Jar rule: same category/arity, every element stem-equal or sharing a
+    synset."""
+    return len(c) == len(r) and c[0] == r[0] and all(
+        _elem_match(x, y, syn) for x, y in zip(c[1:], r[1:]))
+
+
+def _f1(cand: set, ref: set, syn: dict = None):
     if not cand or not ref:
         return {"p": 0.0, "r": 0.0, "f": 0.0}
-    inter = len(cand & ref)
-    p = inter / len(cand)
-    r = inter / len(ref)
+    if syn:
+        # jar semantics: a side's tuple counts as matched if ANY tuple on
+        # the other side is synonym-equivalent (the counts can differ)
+        m_c = sum(1 for c in cand if any(_tuple_match(c, r, syn) for r in ref))
+        m_r = sum(1 for r in ref if any(_tuple_match(c, r, syn) for c in cand))
+        p = m_c / len(cand)
+        r = m_r / len(ref)
+    else:
+        inter = len(cand & ref)
+        p = inter / len(cand)
+        r = inter / len(ref)
     f = 2 * p * r / (p + r) if p + r > 0 else 0.0
     return {"p": p, "r": r, "f": f}
 
@@ -334,14 +426,15 @@ CATEGORIES = {"Object": "O", "Attribute": "A", "Relation": "R"}
 
 
 def sentence_spice(hyp: str, refs: list) -> dict:
+    syn = _synonyms()
     cand = parse_tuples(hyp)
     ref = set()
     for r in refs:
         ref |= parse_tuples(r)
-    out = {"All": _f1(cand, ref)}
+    out = {"All": _f1(cand, ref, syn)}
     for name, tag in CATEGORIES.items():
         out[name] = _f1({t for t in cand if t[0] == tag},
-                        {t for t in ref if t[0] == tag})
+                        {t for t in ref if t[0] == tag}, syn)
     return out
 
 
@@ -350,11 +443,16 @@ _warned_lite = []
 
 def compute_spice(gts: dict, res: dict):
     """coco-caption contract: (corpus mean F, per-image dicts)."""
+    syn = _synonyms()  # also pushes the table to the native tier
     if not _warned_lite:
         _warned_lite.append(True)
+        syn_note = ("synonym matching ON (%d synset stems)" % len(syn)
+                    if syn else "synonym matching off — provide synsets via "
+                    "CIC_SPICE_SYNONYMS / CIC_METEOR_DATA")
         print("note: SPICE here is SPICE-lite (rule-based shallow parse; "
-              "the jar + CoreNLP are missing blobs upstream) — scores are "
-              "NOT comparable to jar-computed literature SPICE")
+              "the jar + CoreNLP are missing blobs upstream; %s) — scores "
+              "are NOT comparable to jar-computed literature SPICE"
+              % syn_note)
     ids = sorted(gts.keys(), key=lambda x: str(x))
     scorer = sentence_spice
     try:

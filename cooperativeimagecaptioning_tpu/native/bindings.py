@@ -70,6 +70,8 @@ def _load():
         lib.cic_spice.argtypes = [ctypes.c_char_p,
                                   ctypes.POINTER(ctypes.c_double)]
         lib.cic_spice.restype = ctypes.c_int
+        lib.cic_spice_configure.argtypes = [ctypes.c_char_p]
+        lib.cic_spice_configure.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -163,8 +165,27 @@ def read_npy(path: str, max_elems: int = 1 << 24):
     return buf[:n].reshape(shp).copy()
 
 
+_spice_cfg = [None]  # last-pushed synonym serialization
+
+
+def spice_configure(groups) -> None:
+    """Push SPICE synonym groups (iterable of word lists) to the C++ tier;
+    metrics.spice keeps this in lockstep with its own table.  Empty clears
+    back to exact matching.  Idempotent pushes are skipped."""
+    lib = _load()
+    if lib is None:
+        return
+    payload = "\x01".join(" ".join(g) for g in groups)
+    if _spice_cfg[0] == payload:
+        return
+    lib.cic_spice_configure(payload.encode("utf-8", "replace"))
+    _spice_cfg[0] = payload
+
+
 def spice_sentence(hyp: str, refs: list) -> dict:
-    """Same contract as metrics.spice.sentence_spice."""
+    """Same contract as metrics.spice.sentence_spice (synonym matching
+    follows the last spice_configure push — metrics.spice pushes whenever
+    its own table changes)."""
     lib = _load()
     out = (ctypes.c_double * 12)()
     payload = (hyp + "\x02" + "\x01".join(refs)).encode("utf-8", "replace")

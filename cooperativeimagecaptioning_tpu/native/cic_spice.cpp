@@ -388,6 +388,45 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
   }
 }
 
+// --- synonym matching (data-gated; mirrors metrics/spice.py exactly) ---
+// stem -> synset group ids; empty = exact matching only
+std::map<std::string, std::set<int>> g_spice_syn;
+
+std::vector<std::string> split_us(const std::string& t) {
+  std::vector<std::string> out;
+  std::string cur;
+  for (char ch : t) {
+    if (ch == '\x1f') {
+      out.push_back(cur);
+      cur.clear();
+    } else {
+      cur += ch;
+    }
+  }
+  out.push_back(cur);
+  return out;
+}
+
+bool elem_match(const std::string& a, const std::string& b) {
+  if (a == b) return true;
+  auto ia = g_spice_syn.find(a);
+  if (ia == g_spice_syn.end()) return false;
+  auto ib = g_spice_syn.find(b);
+  if (ib == g_spice_syn.end()) return false;
+  for (int g : ia->second)
+    if (ib->second.count(g)) return true;
+  return false;
+}
+
+// jar rule: same category/arity, every element stem-equal or sharing a synset
+bool tuple_match(const std::vector<std::string>& c,
+                 const std::vector<std::string>& r) {
+  if (c.size() != r.size() || c[0] != r[0]) return false;
+  for (size_t k = 1; k < c.size(); ++k)
+    if (!elem_match(c[k], r[k])) return false;
+  return true;
+}
+
 void f1(const std::set<std::string>& cand, const std::set<std::string>& ref,
         char tag, double* out) {
   std::set<std::string> c, r;
@@ -399,10 +438,28 @@ void f1(const std::set<std::string>& cand, const std::set<std::string>& ref,
     out[0] = out[1] = out[2] = 0.0;
     return;
   }
-  int inter = 0;
-  for (auto& t : c) inter += r.count(t);
-  double p = (double)inter / c.size();
-  double rr = (double)inter / r.size();
+  double p, rr;
+  if (!g_spice_syn.empty()) {
+    // jar semantics: a side's tuple counts as matched if ANY tuple on the
+    // other side is synonym-equivalent (the two counts can differ)
+    std::vector<std::vector<std::string>> cs, rs;
+    for (auto& t : c) cs.push_back(split_us(t));
+    for (auto& t : r) rs.push_back(split_us(t));
+    int m_c = 0, m_r = 0;
+    for (auto& ct : cs)
+      for (auto& rt : rs)
+        if (tuple_match(ct, rt)) { ++m_c; break; }
+    for (auto& rt : rs)
+      for (auto& ct : cs)
+        if (tuple_match(ct, rt)) { ++m_r; break; }
+    p = (double)m_c / c.size();
+    rr = (double)m_r / r.size();
+  } else {
+    int inter = 0;
+    for (auto& t : c) inter += r.count(t);
+    p = (double)inter / c.size();
+    rr = (double)inter / r.size();
+  }
   out[0] = p;
   out[1] = rr;
   out[2] = (p + rr > 0) ? 2 * p * rr / (p + rr) : 0.0;
@@ -411,6 +468,43 @@ void f1(const std::set<std::string>& cand, const std::set<std::string>& ref,
 }  // namespace
 
 extern "C" {
+
+// synonym table push (mirrors metrics/spice.py _build_synonyms): payload =
+// word groups separated by '\x01', words space-separated; words are lowered
+// and Porter-stemmed here, groups with <2 distinct stems dropped.  Empty or
+// null payload clears back to exact matching.
+int cic_spice_configure(const char* payload) {
+  g_spice_syn.clear();
+  if (!payload || !*payload) return 0;
+  int gid = 0;
+  const char* p = payload;
+  while (*p) {
+    const char* e = strchr(p, '\x01');
+    size_t len = e ? (size_t)(e - p) : strlen(p);
+    std::string line(p, len);
+    std::set<std::string> stems;
+    std::string word;
+    auto flush = [&]() {
+      if (!word.empty()) {
+        for (auto& ch : word) ch = (char)tolower((unsigned char)ch);
+        stems.insert(stem(word));
+        word.clear();
+      }
+    };
+    for (char ch : line) {
+      if (isspace((unsigned char)ch)) flush();
+      else word += ch;
+    }
+    flush();
+    if (stems.size() >= 2) {
+      for (auto& s : stems) g_spice_syn[s].insert(gid);
+      ++gid;
+    }
+    if (!e) break;
+    p = e + 1;
+  }
+  return (int)g_spice_syn.size();
+}
 
 // payload: hyp '\x02' ref1 '\x01' ref2 ...
 // out: 12 doubles = {All, Object, Attribute, Relation} x {p, r, f}

@@ -213,6 +213,66 @@ def test_participle_without_by_stays_attribute():
     assert t == {("O", "door"), ("A", "door", "close")}
 
 
+@pytest.fixture
+def synonyms(tmp_path):
+    """Activate a tiny synset table (jar-style WordNet matching, data-gated),
+    restoring exact matching afterwards."""
+    p = tmp_path / "synonyms.txt"
+    p.write_text("cat feline kitty\nbike bicycle\nman person\n")
+    spice.configure_synonyms(path=str(p))
+    yield str(p)
+    spice.configure_synonyms(None)
+
+
+def test_synonym_tuple_matching(synonyms):
+    # every element may match by shared synset: O, A heads, R endpoints
+    s = spice.sentence_spice("a cat on a mat", ["a feline on a mat"])
+    assert s["All"]["f"] == 1.0
+    assert s["Object"]["f"] == 1.0 and s["Relation"]["f"] == 1.0
+    # without data the same pair shares only 'mat'
+    spice.configure_synonyms(None)
+    s0 = spice.sentence_spice("a cat on a mat", ["a feline on a mat"])
+    assert s0["Object"]["f"] == 0.5 and s0["Relation"]["f"] == 0.0
+
+
+def test_synonym_precision_recall_asymmetric(synonyms):
+    # jar semantics: matched-candidate and matched-reference counts differ
+    # when the reference side has extra tuples
+    s = spice.sentence_spice("a cat", ["a feline sitting on a mat"])
+    assert s["Object"]["p"] == 1.0
+    assert s["Object"]["r"] == 0.5
+    assert 0 < s["Object"]["f"] < 1.0
+
+
+def test_synonym_native_tier_parity(synonyms):
+    from cooperativeimagecaptioning_tpu.native import bindings
+    if not bindings.available():
+        pytest.skip("native library unavailable")
+    for hyp, refs in [
+        ("a cat on a mat", ["a feline on a mat"]),
+        ("a man riding a bike", ["a person riding a bicycle in a park"]),
+        ("a kitty sleeping", ["a cat sleeping", "a dog running"]),
+    ]:
+        want = spice.sentence_spice(hyp, refs)
+        got = bindings.spice_sentence(hyp, refs)
+        for cat in ("All", "Object", "Attribute", "Relation"):
+            for k in ("p", "r", "f"):
+                assert abs(got[cat][k] - want[cat][k]) < 1e-12, (hyp, cat, k)
+
+
+def test_synonyms_from_env(tmp_path, monkeypatch):
+    # CIC_SPICE_SYNONYMS activates lazily on first use
+    p = tmp_path / "syn.txt"
+    p.write_text("dog canine\n")
+    monkeypatch.setenv("CIC_SPICE_SYNONYMS", str(p))
+    spice._SYNONYMS = None  # force re-load from env
+    try:
+        s = spice.sentence_spice("a dog", ["a canine"])
+        assert s["All"]["f"] == 1.0
+    finally:
+        spice.configure_synonyms(None)
+
+
 @pytest.mark.parametrize("caption", [
     "a young girl standing on top of a tennis court",
     "two women are sitting at a white table",
