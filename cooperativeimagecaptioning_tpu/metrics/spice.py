@@ -91,6 +91,28 @@ IRREGULAR_PARTICIPLES = {
 # participles whose following 'by' is locative, not an agent marker
 # ('a car parked by a fence' must stay park(car) + by(car, fence))
 LOCATIVE_BY_PARTICIPLES = {"parked", "stopped", "docked", "moored"}
+# adverbs are never scene-graph nodes (CoreNLP advmod edges are dropped by
+# the jar's scene-graph rules): -ly tokens are discarded unless they are
+# caption nouns/adjectives that happen to end in -ly
+LY_NOT_ADVERBS = {"family", "butterfly", "dragonfly", "firefly", "belly",
+                  "jelly", "lily", "holly", "dolly", "folly", "gully",
+                  "rally", "ally", "assembly", "curly", "friendly", "lovely",
+                  "early", "elderly", "silly", "chilly", "hilly", "lonely",
+                  "ugly", "woolly", "wooly", "frilly", "sparkly", "wrinkly",
+                  "smelly", "jolly", "bubbly", "burly", "wobbly", "oily",
+                  "grizzly", "prickly", "italy"}
+# bare adverbial fillers with no scene-graph content ('each other' is merged
+# to one token by the pre-pass so reciprocals don't mint an 'other' object)
+DROP_WORDS = {"together", "very", "quite", "also", "just", "too", "again",
+              "alone", "each other"}
+# bare adjectives that coordinate BEFORE a noun ('a black and white photo'):
+# the left conjunct folds into the next chunk's attributes instead of
+# minting a fake object node (CoreNLP would tag these JJ and emit amod
+# edges, not a conj of NPs)
+COORD_ADJECTIVES = {"black", "white", "red", "blue", "green", "yellow",
+                    "brown", "orange", "purple", "pink", "gray", "grey",
+                    "gold", "golden", "silver", "tan", "beige", "maroon",
+                    "teal", "navy", "violet", "turquoise", "cream", "dark"}
 
 
 def _participle_base(tok: str):
@@ -112,9 +134,19 @@ def _is_verb(tok: str) -> bool:
 
 
 def _merge_multiword(toks):
+    # split possessive clitics first ("man's" -> "man" + "'s"; PTB-tokenized
+    # input already arrives split) so the 's handler sees one token form
+    split = []
+    for t in toks:
+        if len(t) > 2 and t.endswith("'s"):
+            split.extend((t[:-2], "'s"))
+        else:
+            split.append(t)
+    toks = split
     out, i = [], 0
+    mws = MULTIWORD_PREPS + (("each", "other"),)
     while i < len(toks):
-        for mw in MULTIWORD_PREPS:
+        for mw in mws:
             if tuple(toks[i:i + len(mw)]) == mw:
                 out.append(" ".join(mw))
                 i += len(mw)
@@ -125,9 +157,24 @@ def _merge_multiword(toks):
     return out
 
 
+def _stem_word(w: str) -> str:
+    """Porter stem, with has/had normalized to 'have' so possessives ('s),
+    'has' and 'have' phrasings of the same relation all match (Porter leaves
+    these irregulars apart: has->ha, have->have)."""
+    if w in ("has", "had", "have"):
+        return "have"
+    return stem(w)
+
+
 def _stem_rel(rel: str) -> str:
     """Relations are stemmed per word ('on top of' stays three words)."""
-    return " ".join(stem(w) for w in rel.split())
+    return " ".join(_stem_word(w) for w in rel.split())
+
+
+def _is_adverb(tok: str) -> bool:
+    return (tok in DROP_WORDS
+            or (tok.endswith("ly") and len(tok) > 3
+                and tok not in LY_NOT_ADVERBS))
 
 
 def parse_tuples(caption: str):
@@ -159,7 +206,18 @@ def parse_tuples(caption: str):
         every other participle keeps the attribute behavior ('the door is
         closed' -> close(door)); locative-'by' participles ('a car parked
         by a fence') are excluded, and conjoined agents distribute
-        ('thrown by a man and a woman' -> both throw)."""
+        ('thrown by a man and a woman' -> both throw);
+      * a FINITE verb's subject is the clause subject, found by climbing
+        out of PP/verb-object chunks ('an old man with a cane walks' ->
+        walk(man)); participles (-ing/-ed) attach locally like CoreNLP acl
+        edges, and a relative pronoun pins the following verb to its head
+        ('a man holding a dog that runs' -> run(dog));
+      * adverbs (advmod edges) are transparent — no scene-graph content;
+      * a bare-adjective left conjunct folds into the following chunk's
+        attributes ('a black and white photo' -> photo+black+white, no
+        fake 'black' object);
+      * the possessive clitic is the jar's WordNet-normalized 'have'
+        relation ("a man's hat" == 'a man has a hat' -> have(man, hat))."""
     toks = _merge_multiword(caption.lower().split())
     chunks = []       # list of (attrs, head)
     relations = []    # (subj_chunk_idx, rel, obj_chunk_idx)
@@ -167,17 +225,25 @@ def parse_tuples(caption: str):
     conj_pairs = []   # (left_chunk_idx, right_chunk_idx) NP-and-NP conjuncts
     verb_subjects = set()  # chunk idxs that got their own verb attr/relation
     rel_objects = set()    # chunk idxs that are the OBJECT of some relation
+    suppressed = set()     # chunk idxs folded into another chunk (adj conj)
+    climb_link = {}   # chunk idx -> older chunk idx: PP/verb object -> its
+    # subject, passive agent -> its patient.  A FINITE verb's subject is the
+    # clause subject, reached by climbing these links from the last chunk
+    # ('an old man with a cane walks' -> walk attaches to man, not cane).
     cur = []
     pending_rel = None
     pending_subj = None
     pending_conj = None  # chunk idx awaiting its 'and'/'or' partner NP
+    pending_adj_merge = None  # bare-adjective left conjunct to fold into
+    # the next chunk's attributes ('black and white photo')
     rel_is_verb = False
     rel_swap = False    # passive: emit (new_chunk, rel, pending_subj) instead
+    rel_no_climb = False  # possessive: the owned NP is the syntactic head
     copula_subj = None  # chunk idx whose post-copula modifiers are attrs
 
     def close_chunk():
         nonlocal cur, pending_rel, pending_subj, rel_is_verb, pending_conj, \
-            rel_swap
+            rel_swap, pending_adj_merge, rel_no_climb
         if not cur:
             return
         if copula_subj is not None:
@@ -188,8 +254,17 @@ def parse_tuples(caption: str):
         head = cur[-1]
         attrs = cur[:-1]
         chunks.append((attrs, head))
+        if pending_adj_merge is not None:
+            # 'black and white photo': the bare-adjective left conjunct is
+            # an attribute of this chunk's head, not an object node
+            attrs.append(chunks[pending_adj_merge][1])
+            suppressed.add(pending_adj_merge)
+            pending_adj_merge = None
         if pending_conj is not None:
             conj_pairs.append((pending_conj, len(chunks) - 1))
+            # the right conjunct sits in the left's clause position, so a
+            # following finite verb climbs out of either the same way
+            climb_link[len(chunks) - 1] = pending_conj
             pending_conj = None
         if pending_rel is not None and pending_subj is not None:
             if rel_swap:
@@ -202,15 +277,21 @@ def parse_tuples(caption: str):
                 rel_objects.add(len(chunks) - 1)
                 if rel_is_verb:
                     verb_subjects.add(pending_subj)
+            # both orientations point the NEWEST chunk at its older partner
+            # — except possessives, where the new chunk IS the phrase head
+            # ("the man's dog runs": run belongs to the dog)
+            if not rel_no_climb:
+                climb_link[len(chunks) - 1] = pending_subj
             pending_rel = None
             rel_is_verb = False
             rel_swap = False
+            rel_no_climb = False
         cur = []
 
     def flush_verb():
         # a pending VERB relation abandoned without an object chunk turns
         # into an attribute of its subject (prep relations just drop)
-        nonlocal pending_rel, rel_is_verb, rel_swap
+        nonlocal pending_rel, rel_is_verb, rel_swap, rel_no_climb
         if pending_rel is not None and rel_is_verb and pending_subj is not None:
             verb_attrs.append((pending_subj, pending_rel))
             verb_subjects.add(pending_subj)
@@ -218,6 +299,7 @@ def parse_tuples(caption: str):
             pending_rel = None
             rel_is_verb = False
             rel_swap = False
+            rel_no_climb = False
 
     i = 0
     while i < len(toks):
@@ -241,27 +323,68 @@ def parse_tuples(caption: str):
                 continue
             # no patient chunk to invert around: fall through and let the
             # participle behave as a plain word
-        if tok in DETERMINERS or tok in PRONOUNS:
+        if (tok in DETERMINERS or tok in PRONOUNS) and not (
+                tok == "that" and i + 1 < len(toks)
+                and _is_verb(toks[i + 1])):
+            # 'that' + verb is a relativizer ('a dog that runs'), not the
+            # determiner — it falls to the conjunction branch below
             close_chunk()
             copula_subj = None
+        elif _is_adverb(tok):
+            # advmod edges carry no scene-graph content — the token is
+            # transparent (checked before the prep branch so the merged
+            # 'each other' never becomes a multiword relation)
+            pass
         elif tok in CONJUNCTIONS:
             close_chunk()
             flush_verb()
+            if tok in ("that", "which", "who") and chunks:
+                # relative pronoun: the verb that follows belongs to THIS
+                # chunk ('a man holding a dog that barks' -> bark(dog)),
+                # so it must not climb out of it
+                climb_link.pop(len(chunks) - 1, None)
             # NP-and-NP grouping: the chunk just closed awaits a partner.
             # Clause-level conjunctions (while/as/that/...) never group, and
             # neither does a left conjunct that already carries its own verb
             # ('a dog RUNNING and a cat sleeping' is two clauses, not a pair)
-            pending_conj = len(chunks) - 1 \
-                if tok in ("and", "or") and chunks and copula_subj is None \
-                and (len(chunks) - 1) not in verb_subjects \
-                else None
+            pending_conj = None
+            if tok in ("and", "or") and chunks and copula_subj is None:
+                last = len(chunks) - 1
+                if (not chunks[last][0] and chunks[last][1] in COORD_ADJECTIVES
+                        and last not in rel_objects
+                        and last not in verb_subjects):
+                    # bare adjective left conjunct ('black and white photo'):
+                    # fold into the next chunk's attributes, not a conj pair
+                    pending_adj_merge = last
+                elif last not in verb_subjects:
+                    pending_conj = last
+        elif tok == "'s":
+            # possessive clitic -> the jar's WordNet-normalized 'have'
+            # relation, so "a man's hat" / "a man has a hat" / stemmed
+            # 'have' phrasings all produce the same tuple
+            close_chunk()
+            flush_verb()
+            copula_subj = None
+            pending_conj = None
+            if chunks:
+                pending_subj = len(chunks) - 1  # binds to the nearest NP
+                pending_rel = "have"
+                rel_is_verb = True
+                rel_swap = False
+                rel_no_climb = True
         elif tok in PREPOSITIONS or " " in tok:
             close_chunk()
+            # a prep right after an object-less verb shares that verb's
+            # subject ('a woman holding a baby SITS ON a bench' -> the
+            # climbed subject woman, not the last chunk baby)
+            had_verb = rel_is_verb and pending_rel is not None \
+                and pending_subj is not None
             flush_verb()
             copula_subj = None
             pending_conj = None  # a relation intervened: 'and' was clausal
             if chunks:
-                pending_subj = len(chunks) - 1
+                if not had_verb:
+                    pending_subj = len(chunks) - 1
                 pending_rel = tok
                 rel_is_verb = False
                 rel_swap = False
@@ -272,6 +395,22 @@ def parse_tuples(caption: str):
             pending_conj = None
             if chunks:
                 pending_subj = len(chunks) - 1
+                if not tok.endswith("ing") and not tok.endswith("ed") \
+                        and tok not in IRREGULAR_PARTICIPLES:
+                    # FINITE verb: its subject is the clause subject, not
+                    # the nearest PP/verb object — climb the dependency
+                    # links ('an old man with a cane walks' -> walk(man)).
+                    while pending_subj in climb_link:
+                        pending_subj = climb_link[pending_subj]
+                else:
+                    # participles attach locally (CoreNLP acl on the
+                    # nearest NP) — EXCEPT out of a chunk whose link
+                    # target already carries a verb: that is a participle
+                    # chain sharing one subject ('a woman SITTING on a
+                    # bench HOLDING a baby' -> hold(woman, baby))
+                    while pending_subj in climb_link \
+                            and climb_link[pending_subj] in verb_subjects:
+                        pending_subj = climb_link[pending_subj]
                 if tok in COPULAS:
                     pending_rel = None
                     copula_subj = pending_subj
@@ -312,14 +451,16 @@ def parse_tuples(caption: str):
                               if i not in rel_objects])
 
     tuples = set()
-    for attrs, head in chunks:
+    for idx, (attrs, head) in enumerate(chunks):
+        if idx in suppressed:
+            continue  # folded into another chunk's attributes (adj conj)
         h = stem(head)
         tuples.add(("O", h))
         for a in attrs:
             tuples.add(("A", h, stem(a)))
     for si, verb in verb_attrs:
         for s in subj_group(si):
-            tuples.add(("A", stem(chunks[s][1]), stem(verb)))
+            tuples.add(("A", stem(chunks[s][1]), _stem_word(verb)))
     for si, rel, oi in relations:
         if si < len(chunks) and oi < len(chunks):
             for s in subj_group(si):

@@ -120,6 +120,41 @@ const std::set<std::string>& locative_by_participles() {
   return s;
 }
 
+// mirrors metrics/spice.py LY_NOT_ADVERBS / DROP_WORDS / COORD_ADJECTIVES
+const std::set<std::string>& ly_not_adverbs() {
+  static std::set<std::string> s = {
+      "family", "butterfly", "dragonfly", "firefly", "belly", "jelly",
+      "lily", "holly", "dolly", "folly", "gully", "rally", "ally",
+      "assembly", "curly", "friendly", "lovely", "early", "elderly",
+      "silly", "chilly", "hilly", "lonely", "ugly", "woolly", "wooly",
+      "frilly", "sparkly", "wrinkly", "smelly", "jolly", "bubbly", "burly",
+      "wobbly", "oily", "grizzly", "prickly", "italy"};
+  return s;
+}
+
+const std::set<std::string>& drop_words() {
+  static std::set<std::string> s = {"together", "very", "quite", "also",
+                                    "just", "too", "again", "alone",
+                                    "each other"};
+  return s;
+}
+
+const std::set<std::string>& coord_adjectives() {
+  static std::set<std::string> s = {
+      "black", "white", "red", "blue", "green", "yellow", "brown", "orange",
+      "purple", "pink", "gray", "grey", "gold", "golden", "silver", "tan",
+      "beige", "maroon", "teal", "navy", "violet", "turquoise", "cream",
+      "dark"};
+  return s;
+}
+
+// adverbs are never scene-graph nodes (advmod edges carry no content)
+bool is_adverb(const std::string& tok) {
+  if (drop_words().count(tok)) return true;
+  return tok.size() > 3 && tok.compare(tok.size() - 2, 2, "ly") == 0 &&
+         !ly_not_adverbs().count(tok);
+}
+
 // base verb if tok can be an agent-taking past participle, else ""
 std::string participle_base(const std::string& tok) {
   auto it = irregular_participles().find(tok);
@@ -147,6 +182,13 @@ std::vector<std::string> tokenize_lower(const std::string& s) {
 
 std::string stem(const std::string& w) { return cic_porter_stem(w.c_str()); }
 
+// Porter stem with has/had normalized to 'have' so possessives ('s), 'has'
+// and 'have' phrasings of the same relation all match (mirrors _stem_word)
+std::string stem_word(const std::string& w) {
+  if (w == "has" || w == "had" || w == "have") return "have";
+  return stem(w);
+}
+
 // relations are stemmed per word ("on top of" stays three words)
 std::string stem_rel(const std::string& rel) {
   std::string out, word;
@@ -154,7 +196,7 @@ std::string stem_rel(const std::string& rel) {
     if (ch == ' ') {
       if (!word.empty()) {
         if (!out.empty()) out += ' ';
-        out += stem(word);
+        out += stem_word(word);
         word.clear();
       }
     } else {
@@ -163,17 +205,33 @@ std::string stem_rel(const std::string& rel) {
   }
   if (!word.empty()) {
     if (!out.empty()) out += ' ';
-    out += stem(word);
+    out += stem_word(word);
   }
   return out;
 }
 
-std::vector<std::string> merge_multiword(const std::vector<std::string>& toks) {
+std::vector<std::string> merge_multiword(const std::vector<std::string>& raw) {
+  // split possessive clitics first ("man's" -> "man" + "'s") so the 's
+  // handler sees one token form; then merge multiword preps + "each other"
+  std::vector<std::string> toks;
+  for (const auto& t : raw) {
+    if (t.size() > 2 && t.compare(t.size() - 2, 2, "'s") == 0) {
+      toks.push_back(t.substr(0, t.size() - 2));
+      toks.push_back("'s");
+    } else {
+      toks.push_back(t);
+    }
+  }
+  static std::vector<std::vector<std::string>> mws = [] {
+    auto v = multiword_preps();
+    v.push_back({"each", "other"});
+    return v;
+  }();
   std::vector<std::string> out;
   size_t i = 0;
   while (i < toks.size()) {
     bool matched = false;
-    for (const auto& mw : multiword_preps()) {
+    for (const auto& mw : mws) {
       if (i + mw.size() <= toks.size()) {
         bool eq = true;
         for (size_t k = 0; k < mw.size(); ++k)
@@ -227,10 +285,13 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
   std::vector<std::pair<std::vector<std::string>, std::string>> chunks;
   std::vector<std::string> cur;
   int pending_subj = -1;
-  int pending_conj = -1;  // chunk idx awaiting its 'and'/'or' partner NP
+  int pending_conj = -1;   // chunk idx awaiting its 'and'/'or' partner NP
+  int pending_adj_merge = -1;  // bare-adjective left conjunct to fold into
+                               // the next chunk's attributes
   bool have_rel = false;
   bool rel_is_verb = false;
   bool rel_swap = false;  // passive: emit (new_chunk, rel, pending_subj)
+  bool rel_no_climb = false;  // possessive: owned NP is the syntactic head
   int copula_subj = -1;
   std::string pending_rel;
   std::vector<std::tuple<int, std::string, int>> relations;
@@ -238,6 +299,10 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
   std::vector<std::pair<int, int>> conj_pairs;
   std::set<int> verb_subjects;  // chunks that got their own verb attr/rel
   std::set<int> rel_objects;    // chunks that are the OBJECT of a relation
+  std::set<int> suppressed;     // chunks folded into another (adj conj)
+  std::map<int, int> climb_link;  // chunk -> older chunk: PP/verb object ->
+  // its subject, passive agent -> its patient, right conjunct -> left.
+  // A FINITE verb's subject is the clause subject, reached by climbing.
 
   auto close_chunk = [&]() {
     if (cur.empty()) return;
@@ -251,8 +316,18 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
     std::string head = cur.back();
     std::vector<std::string> attrs(cur.begin(), cur.end() - 1);
     chunks.push_back({attrs, head});
+    if (pending_adj_merge >= 0) {
+      // 'black and white photo': the bare-adjective left conjunct is an
+      // attribute of this chunk's head, not an object node
+      chunks.back().first.push_back(chunks[pending_adj_merge].second);
+      suppressed.insert(pending_adj_merge);
+      pending_adj_merge = -1;
+    }
     if (pending_conj >= 0) {
       conj_pairs.emplace_back(pending_conj, (int)chunks.size() - 1);
+      // the right conjunct sits in the left's clause position, so a
+      // following finite verb climbs out of either the same way
+      climb_link[(int)chunks.size() - 1] = pending_conj;
       pending_conj = -1;
     }
     if (have_rel && pending_subj >= 0) {
@@ -268,9 +343,13 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
         rel_objects.insert((int)chunks.size() - 1);
         if (rel_is_verb) verb_subjects.insert(pending_subj);
       }
+      // both orientations point the NEWEST chunk at its older partner —
+      // except possessives, where the new chunk IS the phrase head
+      if (!rel_no_climb) climb_link[(int)chunks.size() - 1] = pending_subj;
       have_rel = false;
       rel_is_verb = false;
       rel_swap = false;
+      rel_no_climb = false;
     }
     cur.clear();
   };
@@ -286,6 +365,7 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
       have_rel = false;
       rel_is_verb = false;
       rel_swap = false;
+      rel_no_climb = false;
     }
   };
 
@@ -311,27 +391,66 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
       }
       // no patient chunk to invert around: fall through (plain word)
     }
-    if (determiners().count(tok) || pronouns().count(tok)) {
+    if ((determiners().count(tok) || pronouns().count(tok)) &&
+        !(tok == "that" && i + 1 < toks.size() && is_verb(toks[i + 1]))) {
+      // 'that' + verb is a relativizer ('a dog that runs'), not the
+      // determiner — it falls to the conjunction branch below
       close_chunk();
       copula_subj = -1;
+    } else if (is_adverb(tok)) {
+      // advmod edges carry no scene-graph content — transparent (checked
+      // before the prep branch so the merged 'each other' never becomes
+      // a multiword relation)
     } else if (conjunctions().count(tok)) {
       close_chunk();
       flush_verb();
+      if ((tok == "that" || tok == "which" || tok == "who") &&
+          !chunks.empty()) {
+        // relative pronoun: the verb that follows belongs to THIS chunk
+        // ('a man holding a dog that runs' -> run(dog))
+        climb_link.erase((int)chunks.size() - 1);
+      }
       // NP-and-NP grouping: clause-level conjunctions never group, and
       // neither does a left conjunct that already carries its own verb
-      pending_conj = ((tok == "and" || tok == "or") && !chunks.empty() &&
-                      copula_subj < 0 &&
-                      !verb_subjects.count((int)chunks.size() - 1))
-                         ? (int)chunks.size() - 1
-                         : -1;
+      pending_conj = -1;
+      if ((tok == "and" || tok == "or") && !chunks.empty() &&
+          copula_subj < 0) {
+        int last = (int)chunks.size() - 1;
+        if (chunks[last].first.empty() &&
+            coord_adjectives().count(chunks[last].second) &&
+            !rel_objects.count(last) && !verb_subjects.count(last)) {
+          // bare adjective left conjunct ('black and white photo'):
+          // fold into the next chunk's attributes, not a conj pair
+          pending_adj_merge = last;
+        } else if (!verb_subjects.count(last)) {
+          pending_conj = last;
+        }
+      }
+    } else if (tok == "'s") {
+      // possessive clitic -> the jar's WordNet-normalized 'have' relation
+      close_chunk();
+      flush_verb();
+      copula_subj = -1;
+      pending_conj = -1;
+      if (!chunks.empty()) {
+        pending_subj = (int)chunks.size() - 1;  // binds to the nearest NP
+        pending_rel = "have";
+        have_rel = true;
+        rel_is_verb = true;
+        rel_swap = false;
+        rel_no_climb = true;
+      }
     } else if (prepositions().count(tok) ||
                tok.find(' ') != std::string::npos) {
       close_chunk();
+      // a prep right after an object-less verb shares that verb's subject
+      // ('a woman holding a baby SITS ON a bench' -> woman, not baby)
+      bool had_verb = rel_is_verb && have_rel && pending_subj >= 0;
       flush_verb();
       copula_subj = -1;
       pending_conj = -1;  // a relation intervened: 'and' was clausal
       if (!chunks.empty()) {
-        pending_subj = (int)chunks.size() - 1;
+        if (!had_verb) pending_subj = (int)chunks.size() - 1;
         pending_rel = tok;
         have_rel = true;
         rel_is_verb = false;
@@ -344,6 +463,25 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
       pending_conj = -1;
       if (!chunks.empty()) {
         pending_subj = (int)chunks.size() - 1;
+        bool ing = tok.size() > 3 &&
+                   tok.compare(tok.size() - 3, 3, "ing") == 0;
+        bool ed = tok.size() > 2 && tok.compare(tok.size() - 2, 2, "ed") == 0;
+        if (!ing && !ed && !irregular_participles().count(tok)) {
+          // FINITE verb: its subject is the clause subject — climb the
+          // links
+          for (auto it = climb_link.find(pending_subj);
+               it != climb_link.end(); it = climb_link.find(pending_subj))
+            pending_subj = it->second;
+        } else {
+          // participles attach locally (acl on the nearest NP) — except
+          // out of a chunk whose link target already carries a verb: a
+          // participle chain shares one subject ('a woman SITTING on a
+          // bench HOLDING a baby' -> hold(woman, baby))
+          for (auto it = climb_link.find(pending_subj);
+               it != climb_link.end() && verb_subjects.count(it->second);
+               it = climb_link.find(pending_subj))
+            pending_subj = it->second;
+        }
         if (copulas().count(tok)) {
           have_rel = false;
           copula_subj = pending_subj;
@@ -370,14 +508,17 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
     if (!rel_objects.count(i)) subj_pairs.emplace_back(i, j);
   auto subj_group = conj_groups((int)chunks.size(), subj_pairs);
 
-  for (auto& [attrs, head] : chunks) {
-    std::string h = stem(head);
+  for (int idx = 0; idx < (int)chunks.size(); ++idx) {
+    if (suppressed.count(idx)) continue;  // folded into another chunk
+    std::string h = stem(chunks[idx].second);
     tuples.insert("O\x1f" + h);
-    for (auto& a : attrs) tuples.insert("A\x1f" + h + "\x1f" + stem(a));
+    for (auto& a : chunks[idx].first)
+      tuples.insert("A\x1f" + h + "\x1f" + stem(a));
   }
   for (auto& [si, verb] : verb_attrs)
     for (int s : subj_group[si])
-      tuples.insert("A\x1f" + stem(chunks[s].second) + "\x1f" + stem(verb));
+      tuples.insert("A\x1f" + stem(chunks[s].second) + "\x1f" +
+                    stem_word(verb));
   for (auto& [si, rel, oi] : relations) {
     if (si < (int)chunks.size() && oi < (int)chunks.size())
       for (int s : subj_group[si])

@@ -213,6 +213,112 @@ def test_participle_without_by_stays_attribute():
     assert t == {("O", "door"), ("A", "door", "close")}
 
 
+def test_finite_verb_climbs_to_clause_subject():
+    # nsubj attaches the finite verb to the clause subject, not the nearest
+    # PP object (CoreNLP: nsubj(walks, man), not nsubj(walks, cane))
+    t = tuples("an old man with a cane walks")
+    assert t == {("O", "man"), ("O", "cane"),
+                 ("A", "man", "old"), ("A", "man", "walk"),
+                 ("R", "man", "with", "cane")}
+
+
+def test_finite_verb_climbs_out_of_verb_object():
+    t = tuples("a woman holding a baby sits on a bench")
+    assert ("A", "woman", "sit") in t
+    assert ("R", "woman", "on", "bench") in t
+    assert ("R", "woman", "hold", "babi") in t
+    assert ("A", "babi", "sit") not in t
+
+
+def test_participle_attaches_locally_no_climb():
+    # -ing forms are acl edges on the nearest NP: the people sit, not the
+    # group ('a group of people sitting on a bench')
+    t = tuples("a group of people sitting on a bench")
+    assert ("A", "peopl", "sit") in t
+    assert ("A", "group", "sit") not in t
+
+
+def test_participle_chain_shares_subject():
+    # a second participle after a verb-rooted PP is a chain on one subject:
+    # 'a woman SITTING on a bench HOLDING a baby' -> woman holds, not bench
+    t = tuples("a woman sitting on a bench holding a baby")
+    assert ("R", "woman", "hold", "babi") in t
+    assert ("R", "bench", "hold", "babi") not in t
+    # the two phrasings of the same scene now parse identically
+    assert t == tuples("a woman holding a baby sits on a bench")
+
+
+def test_relative_pronoun_pins_verb_to_head():
+    t = tuples("a man holding a dog that runs")
+    assert ("A", "dog", "run") in t
+    assert ("A", "man", "run") not in t
+    assert ("R", "man", "hold", "dog") in t
+
+
+def test_that_still_works_as_determiner():
+    t = tuples("that dog runs")
+    assert t == {("O", "dog"), ("A", "dog", "run")}
+
+
+def test_passive_head_gets_following_finite_verb():
+    # the reduced-relative patient is the phrase head: fly belongs to the
+    # ball, and 'through' rides the same climbed subject
+    t = tuples("a ball thrown by a man flies through the air")
+    assert ("R", "man", "throw", "ball") in t
+    assert ("A", "ball", "fli") in t
+    assert ("R", "ball", "through", "air") in t
+
+
+def test_adverbs_are_transparent():
+    t = tuples("a man walks slowly down the street")
+    assert t == {("O", "man"), ("O", "street"),
+                 ("A", "man", "walk"), ("R", "man", "down", "street")}
+    assert ("O", "slowli") not in tuples("a man walks slowly")
+
+
+def test_ly_nouns_survive_adverb_drop():
+    t = tuples("an elderly woman and a butterfly")
+    assert ("A", "woman", "elderli") in t
+    assert ("O", "butterfli") in t
+
+
+def test_each_other_never_an_object():
+    t = tuples("two people looking at each other")
+    assert t == {("O", "peopl"), ("A", "peopl", "two"),
+                 ("A", "peopl", "look")}
+
+
+def test_coordinated_adjectives_fold_into_noun():
+    # 'black and white' before a noun is amod coordination, not NP conj:
+    # no fake 'black' object node
+    t = tuples("a black and white photo of a man")
+    assert t == {("O", "photo"), ("O", "man"),
+                 ("A", "photo", "black"), ("A", "photo", "white"),
+                 ("R", "photo", "of", "man")}
+
+
+def test_color_conj_as_real_objects_unaffected():
+    # after a relation the colors ARE the objects ('a photo in black and
+    # white') — the fold only applies pre-nominally
+    t = tuples("a photo in black and white")
+    assert ("R", "photo", "in", "black") in t
+    assert ("R", "photo", "in", "white") in t
+
+
+def test_possessive_clitic_is_have_relation():
+    # "a man's hat" == 'a man has a hat': the jar normalizes possessives
+    # through WordNet's have; all three phrasings yield the same tuple
+    for c in ("a man 's hat", "a man's hat", "a man has a hat"):
+        assert ("R", "man", "have", "hat") in tuples(c), c
+
+
+def test_possessive_head_owns_following_verb():
+    t = tuples("a man's dog runs")
+    assert ("A", "dog", "run") in t
+    assert ("A", "man", "run") not in t
+    assert ("R", "man", "have", "dog") in t
+
+
 @pytest.fixture
 def synonyms(tmp_path):
     """Activate a tiny synset table (jar-style WordNet matching, data-gated),
@@ -288,6 +394,17 @@ def test_synonyms_from_env(tmp_path, monkeypatch):
     "a cake decorated by a child",
     "a ball thrown by a man and a woman",
     "a car parked by a fence",
+    "an old man with a cane walks",
+    "a woman holding a baby sits on a bench",
+    "a man holding a dog that runs",
+    "a ball thrown by a man flies through the air",
+    "a man walks slowly down the street",
+    "two people looking at each other",
+    "a black and white photo of a man",
+    "a photo in black and white",
+    "a man's dog runs on a beach",
+    "an elderly woman and a butterfly sitting together",
+    "a woman sitting on a bench holding a baby",
 ])
 def test_cpp_tier_parity_on_golden_cases(caption):
     from cooperativeimagecaptioning_tpu.native import bindings
