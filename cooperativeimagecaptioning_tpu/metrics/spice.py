@@ -89,8 +89,12 @@ IRREGULAR_PARTICIPLES = {
 # ('left' is deliberately absent: 'the man on the left by the window' is a
 #  noun use far more common in captions than the leave-passive.)
 # participles whose following 'by' is locative, not an agent marker
-# ('a car parked by a fence' must stay park(car) + by(car, fence))
-LOCATIVE_BY_PARTICIPLES = {"parked", "stopped", "docked", "moored"}
+# ('a car parked by a fence' must stay park(car) + by(car, fence)); these
+# still parse as verbs (_is_verb) so the participle-attribute path applies
+LOCATIVE_BY_PARTICIPLES = {"parked", "stopped", "docked", "moored", "taken",
+                           "placed", "hung", "situated", "located",
+                           "positioned", "seated", "perched", "mounted",
+                           "displayed", "lined", "stacked"}
 # adverbs are never scene-graph nodes (CoreNLP advmod edges are dropped by
 # the jar's scene-graph rules): -ly tokens are discarded unless they are
 # caption nouns/adjectives that happen to end in -ly
@@ -117,16 +121,18 @@ COORD_ADJECTIVES = {"black", "white", "red", "blue", "green", "yellow",
 
 def _participle_base(tok: str):
     """Base verb if tok can be an agent-taking past participle, else None."""
+    if tok in LOCATIVE_BY_PARTICIPLES:
+        return None
     if tok in IRREGULAR_PARTICIPLES:
         return IRREGULAR_PARTICIPLES[tok]
-    if tok.endswith("ed") and len(tok) > 3 \
-            and tok not in LOCATIVE_BY_PARTICIPLES:
+    if tok.endswith("ed") and len(tok) > 3:
         return tok
     return None
 
 
 def _is_verb(tok: str) -> bool:
-    if tok in COPULAS or tok in COMMON_VERBS:
+    if tok in COPULAS or tok in COMMON_VERBS \
+            or tok in LOCATIVE_BY_PARTICIPLES:
         return True
     if tok.endswith("ing") and len(tok) > 4 and tok not in NOUN_ING_EXCEPTIONS:
         return True
@@ -175,6 +181,29 @@ def _is_adverb(tok: str) -> bool:
     return (tok in DROP_WORDS
             or (tok.endswith("ly") and len(tok) > 3
                 and tok not in LY_NOT_ADVERBS))
+
+
+def _noun_follows(toks, i):
+    """True if the conjunct phrase after toks[i] (an 'and'/'or') reaches a
+    non-coordinate-adjective head before a clause boundary — distinguishes
+    pre-nominal color coordination ('black and white dog' folds into the
+    noun, even through a chain 'black and white and brown dog') from a
+    terminal color list ('a photo in black and white'), where the colors
+    ARE the objects."""
+    j = i + 1
+    while j < len(toks):
+        t = toks[j]
+        if (t in DETERMINERS or t in PRONOUNS or _is_adverb(t)
+                or t in ("and", "or")):
+            j += 1
+            continue
+        if (t in PREPOSITIONS or " " in t or t == "'s" or t in CONJUNCTIONS
+                or _is_verb(t)):
+            return False
+        if t not in COORD_ADJECTIVES:
+            return True
+        j += 1
+    return False
 
 
 def parse_tuples(caption: str):
@@ -226,6 +255,9 @@ def parse_tuples(caption: str):
     verb_subjects = set()  # chunk idxs that got their own verb attr/relation
     rel_objects = set()    # chunk idxs that are the OBJECT of some relation
     suppressed = set()     # chunk idxs folded into another chunk (adj conj)
+    rel_pinned = set()     # chunk idxs whose verb a relative pronoun pinned
+    # ('a man and a dog that runs': run stays on the dog — the conj pair
+    # must not redistribute it back to the left conjunct)
     climb_link = {}   # chunk idx -> older chunk idx: PP/verb object -> its
     # subject, passive agent -> its patient.  A FINITE verb's subject is the
     # clause subject, reached by climbing these links from the last chunk
@@ -256,9 +288,22 @@ def parse_tuples(caption: str):
         chunks.append((attrs, head))
         if pending_adj_merge is not None:
             # 'black and white photo': the bare-adjective left conjunct is
-            # an attribute of this chunk's head, not an object node
-            attrs.append(chunks[pending_adj_merge][1])
-            suppressed.add(pending_adj_merge)
+            # an attribute of this chunk's head, not an object node.  When
+            # the adjective was a preposition's object ('a photo OF a black
+            # and white dog'), the relation rewires to this chunk too.
+            src = pending_adj_merge
+            new = len(chunks) - 1
+            attrs.extend(chunks[src][0] + [chunks[src][1]])
+            suppressed.add(src)
+            for k, (s, r, o) in enumerate(relations):
+                s2 = new if s == src else s
+                o2 = new if o == src else o
+                if (s2, o2) != (s, o):
+                    relations[k] = (s2, r, o2)
+                    if o2 == new:
+                        rel_objects.add(new)
+            if src in climb_link:
+                climb_link[new] = climb_link[src]
             pending_adj_merge = None
         if pending_conj is not None:
             conj_pairs.append((pending_conj, len(chunks) - 1))
@@ -304,18 +349,27 @@ def parse_tuples(caption: str):
     i = 0
     while i < len(toks):
         tok = toks[i]
+        if tok == "'s" and not (cur and not (
+                i + 1 < len(toks) and _is_verb(toks[i + 1]))):
+            # bare ("there's", "it's") or pre-verbal ("a man's running")
+            # clitic is the 'is' contraction, not a possessive — behave
+            # exactly like the copula token it contracts
+            tok = "is"
         base = _participle_base(tok)
         if base is not None and i + 1 < len(toks) and toks[i + 1] == "by":
             # passive agent: '<patient> <participle> by <agent>'.  The
-            # patient is the chunk being built (or the copula subject);
-            # the agent NP that follows completes the inverted relation
-            # in close_chunk.  The 'by' token is consumed here.
+            # patient is the copula subject when one climbed ('the ball in
+            # the park IS thrown by...' -> ball, not park), else the chunk
+            # just built; the agent NP that follows completes the inverted
+            # relation in close_chunk.  The 'by' token is consumed here.
             close_chunk()
             flush_verb()
+            patient = copula_subj
             copula_subj = None
             pending_conj = None
-            if chunks:
-                pending_subj = len(chunks) - 1
+            if patient is not None or chunks:
+                pending_subj = patient if patient is not None \
+                    else len(chunks) - 1
                 pending_rel = base
                 rel_is_verb = True
                 rel_swap = True
@@ -341,8 +395,10 @@ def parse_tuples(caption: str):
             if tok in ("that", "which", "who") and chunks:
                 # relative pronoun: the verb that follows belongs to THIS
                 # chunk ('a man holding a dog that barks' -> bark(dog)),
-                # so it must not climb out of it
+                # so it must not climb out of it — nor distribute back to
+                # a left conjunct ('a man and a dog that runs')
                 climb_link.pop(len(chunks) - 1, None)
+                rel_pinned.add(len(chunks) - 1)
             # NP-and-NP grouping: the chunk just closed awaits a partner.
             # Clause-level conjunctions (while/as/that/...) never group, and
             # neither does a left conjunct that already carries its own verb
@@ -350,11 +406,15 @@ def parse_tuples(caption: str):
             pending_conj = None
             if tok in ("and", "or") and chunks and copula_subj is None:
                 last = len(chunks) - 1
-                if (not chunks[last][0] and chunks[last][1] in COORD_ADJECTIVES
-                        and last not in rel_objects
-                        and last not in verb_subjects):
-                    # bare adjective left conjunct ('black and white photo'):
-                    # fold into the next chunk's attributes, not a conj pair
+                if (chunks[last][1] in COORD_ADJECTIVES
+                        and all(a in COORD_ADJECTIVES
+                                for a in chunks[last][0])
+                        and last not in verb_subjects
+                        and _noun_follows(toks, i)):
+                    # adjective-only left conjunct ('black and white photo',
+                    # 'a photo of a black and white dog', chained 'black and
+                    # white and brown'): fold into the next chunk's
+                    # attributes, not a conj pair
                     pending_adj_merge = last
                 elif last not in verb_subjects:
                     pending_conj = last
@@ -389,6 +449,20 @@ def parse_tuples(caption: str):
                 rel_is_verb = False
                 rel_swap = False
         elif _is_verb(tok):
+            if (not cur and copula_subj is None
+                    and not (rel_is_verb and pending_rel is not None)
+                    and tok not in COPULAS
+                    and (tok.endswith("ed") or tok.endswith("ing")
+                         or tok in IRREGULAR_PARTICIPLES
+                         or tok in LOCATIVE_BY_PARTICIPLES)
+                    and _noun_follows(toks, i)):
+                # pre-nominal participle ('beside a PARKED car', 'a
+                # STANDING man'): CoreNLP tags these amod — an attribute
+                # of the upcoming head, never a relation that would
+                # clobber a pending preposition
+                cur.append(IRREGULAR_PARTICIPLES.get(tok, tok))
+                i += 1
+                continue
             close_chunk()  # may mint the conjunct NP first (pair forms there)
             flush_verb()
             copula_subj = None
@@ -415,7 +489,9 @@ def parse_tuples(caption: str):
                     pending_rel = None
                     copula_subj = pending_subj
                 else:
-                    pending_rel = tok
+                    # irregular participles record their base form so the
+                    # relation stem matches active voice ('hung' -> hang)
+                    pending_rel = IRREGULAR_PARTICIPLES.get(tok, tok)
                     rel_is_verb = True
                 rel_swap = False
         else:
@@ -448,7 +524,8 @@ def parse_tuples(caption: str):
 
     obj_group = _union_find(conj_pairs)
     subj_group = _union_find([(i, j) for i, j in conj_pairs
-                              if i not in rel_objects])
+                              if i not in rel_objects
+                              and j not in rel_pinned])
 
     tuples = set()
     for idx, (attrs, head) in enumerate(chunks):

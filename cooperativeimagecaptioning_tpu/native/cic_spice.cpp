@@ -88,8 +88,12 @@ const std::set<std::string>& pronouns() {
   return s;
 }
 
+const std::set<std::string>& locative_by_participles();
+
 bool is_verb(const std::string& tok) {
-  if (copulas().count(tok) || common_verbs().count(tok)) return true;
+  if (copulas().count(tok) || common_verbs().count(tok) ||
+      locative_by_participles().count(tok))
+    return true;
   if (tok.size() > 4 && tok.compare(tok.size() - 3, 3, "ing") == 0 &&
       !noun_ing_exceptions().count(tok))
     return true;
@@ -116,7 +120,10 @@ const std::map<std::string, std::string>& irregular_participles() {
 }
 
 const std::set<std::string>& locative_by_participles() {
-  static std::set<std::string> s = {"parked", "stopped", "docked", "moored"};
+  static std::set<std::string> s = {
+      "parked", "stopped", "docked", "moored", "taken", "placed", "hung",
+      "situated", "located", "positioned", "seated", "perched", "mounted",
+      "displayed", "lined", "stacked"};
   return s;
 }
 
@@ -157,12 +164,31 @@ bool is_adverb(const std::string& tok) {
 
 // base verb if tok can be an agent-taking past participle, else ""
 std::string participle_base(const std::string& tok) {
+  if (locative_by_participles().count(tok)) return "";
   auto it = irregular_participles().find(tok);
   if (it != irregular_participles().end()) return it->second;
-  if (tok.size() > 3 && tok.compare(tok.size() - 2, 2, "ed") == 0 &&
-      !locative_by_participles().count(tok))
+  if (tok.size() > 3 && tok.compare(tok.size() - 2, 2, "ed") == 0)
     return tok;
   return "";
+}
+
+// True if the conjunct phrase after toks[i] (an 'and'/'or') reaches a
+// non-coordinate-adjective head before a clause boundary (mirrors
+// _noun_follows): pre-nominal color coordination folds into the noun;
+// a terminal color list ('a photo in black and white') keeps the colors
+// as real objects.
+bool noun_follows(const std::vector<std::string>& toks, size_t i) {
+  for (size_t j = i + 1; j < toks.size(); ++j) {
+    const std::string& t = toks[j];
+    if (determiners().count(t) || pronouns().count(t) || is_adverb(t) ||
+        t == "and" || t == "or")
+      continue;
+    if (prepositions().count(t) || t.find(' ') != std::string::npos ||
+        t == "'s" || conjunctions().count(t) || is_verb(t))
+      return false;
+    if (!coord_adjectives().count(t)) return true;
+  }
+  return false;
 }
 
 std::vector<std::string> tokenize_lower(const std::string& s) {
@@ -300,6 +326,8 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
   std::set<int> verb_subjects;  // chunks that got their own verb attr/rel
   std::set<int> rel_objects;    // chunks that are the OBJECT of a relation
   std::set<int> suppressed;     // chunks folded into another (adj conj)
+  std::set<int> rel_pinned;     // chunks whose verb a relative pronoun
+                                // pinned (no conj redistribution)
   std::map<int, int> climb_link;  // chunk -> older chunk: PP/verb object ->
   // its subject, passive agent -> its patient, right conjunct -> left.
   // A FINITE verb's subject is the clause subject, reached by climbing.
@@ -318,9 +346,25 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
     chunks.push_back({attrs, head});
     if (pending_adj_merge >= 0) {
       // 'black and white photo': the bare-adjective left conjunct is an
-      // attribute of this chunk's head, not an object node
-      chunks.back().first.push_back(chunks[pending_adj_merge].second);
-      suppressed.insert(pending_adj_merge);
+      // attribute of this chunk's head, not an object node.  When the
+      // adjective was a preposition's object ('a photo OF a black and
+      // white dog'), the relation rewires to this chunk too.
+      int src = pending_adj_merge;
+      int nw = (int)chunks.size() - 1;
+      auto& dst = chunks.back().first;
+      dst.insert(dst.end(), chunks[src].first.begin(),
+                 chunks[src].first.end());
+      dst.push_back(chunks[src].second);
+      suppressed.insert(src);
+      for (auto& [s, r, o] : relations) {
+        if (s == src) s = nw;
+        if (o == src) {
+          o = nw;
+          rel_objects.insert(nw);
+        }
+      }
+      auto cl = climb_link.find(src);
+      if (cl != climb_link.end()) climb_link[nw] = cl->second;
       pending_adj_merge = -1;
     }
     if (pending_conj >= 0) {
@@ -370,18 +414,26 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
   };
 
   for (size_t i = 0; i < toks.size(); ++i) {
-    const std::string& tok = toks[i];
+    std::string tok = toks[i];
+    if (tok == "'s" &&
+        (cur.empty() || (i + 1 < toks.size() && is_verb(toks[i + 1])))) {
+      // bare ("there's", "it's") or pre-verbal ("a man's running") clitic
+      // is the 'is' contraction, not a possessive — behave like a copula
+      tok = "is";
+    }
     std::string base = participle_base(tok);
     if (!base.empty() && i + 1 < toks.size() && toks[i + 1] == "by") {
-      // passive agent: '<patient> <participle> by <agent>'; the 'by'
-      // token is consumed here and the agent NP completes the inverted
-      // relation in close_chunk
+      // passive agent: '<patient> <participle> by <agent>'; the patient is
+      // the copula subject when one climbed ('the ball in the park IS
+      // thrown by...' -> ball), else the chunk just built; the 'by' token
+      // is consumed here and the agent NP completes the inverted relation
       close_chunk();
       flush_verb();
+      int patient = copula_subj;
       copula_subj = -1;
       pending_conj = -1;
-      if (!chunks.empty()) {
-        pending_subj = (int)chunks.size() - 1;
+      if (patient >= 0 || !chunks.empty()) {
+        pending_subj = patient >= 0 ? patient : (int)chunks.size() - 1;
         pending_rel = base;
         have_rel = true;
         rel_is_verb = true;
@@ -407,8 +459,10 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
       if ((tok == "that" || tok == "which" || tok == "who") &&
           !chunks.empty()) {
         // relative pronoun: the verb that follows belongs to THIS chunk
-        // ('a man holding a dog that runs' -> run(dog))
+        // ('a man holding a dog that runs' -> run(dog)) — no climb out,
+        // no conj redistribution to a left conjunct
         climb_link.erase((int)chunks.size() - 1);
+        rel_pinned.insert((int)chunks.size() - 1);
       }
       // NP-and-NP grouping: clause-level conjunctions never group, and
       // neither does a left conjunct that already carries its own verb
@@ -416,11 +470,17 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
       if ((tok == "and" || tok == "or") && !chunks.empty() &&
           copula_subj < 0) {
         int last = (int)chunks.size() - 1;
-        if (chunks[last].first.empty() &&
-            coord_adjectives().count(chunks[last].second) &&
-            !rel_objects.count(last) && !verb_subjects.count(last)) {
-          // bare adjective left conjunct ('black and white photo'):
-          // fold into the next chunk's attributes, not a conj pair
+        bool all_coord = coord_adjectives().count(chunks[last].second) > 0;
+        for (auto& a : chunks[last].first)
+          if (!coord_adjectives().count(a)) {
+            all_coord = false;
+            break;
+          }
+        if (all_coord && !verb_subjects.count(last) &&
+            noun_follows(toks, i)) {
+          // adjective-only left conjunct ('black and white photo', 'a
+          // photo of a black and white dog', chained colors): fold into
+          // the next chunk's attributes, not a conj pair
           pending_adj_merge = last;
         } else if (!verb_subjects.count(last)) {
           pending_conj = last;
@@ -457,6 +517,23 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
         rel_swap = false;
       }
     } else if (is_verb(tok)) {
+      bool part_ing = tok.size() > 3 &&
+                      tok.compare(tok.size() - 3, 3, "ing") == 0;
+      bool part_ed = tok.size() > 2 &&
+                     tok.compare(tok.size() - 2, 2, "ed") == 0;
+      if (cur.empty() && copula_subj < 0 &&
+          !(rel_is_verb && have_rel) && !copulas().count(tok) &&
+          (part_ing || part_ed || irregular_participles().count(tok) ||
+           locative_by_participles().count(tok)) &&
+          noun_follows(toks, i)) {
+        // pre-nominal participle ('beside a PARKED car'): an attribute of
+        // the upcoming head, never a relation that would clobber a
+        // pending preposition (mirrors the Python tier)
+        auto itb = irregular_participles().find(tok);
+        cur.push_back(itb != irregular_participles().end() ? itb->second
+                                                           : tok);
+        continue;
+      }
       close_chunk();  // may mint the conjunct NP first (pair forms there)
       flush_verb();
       copula_subj = -1;
@@ -486,7 +563,11 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
           have_rel = false;
           copula_subj = pending_subj;
         } else {
-          pending_rel = tok;
+          // irregular participles record their base form so the relation
+          // stem matches active voice ('hung' -> hang)
+          auto itb = irregular_participles().find(tok);
+          pending_rel = itb != irregular_participles().end() ? itb->second
+                                                             : tok;
           have_rel = true;
           rel_is_verb = true;
         }
@@ -505,7 +586,8 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
   auto obj_group = conj_groups((int)chunks.size(), conj_pairs);
   std::vector<std::pair<int, int>> subj_pairs;
   for (auto& [i, j] : conj_pairs)
-    if (!rel_objects.count(i)) subj_pairs.emplace_back(i, j);
+    if (!rel_objects.count(i) && !rel_pinned.count(j))
+      subj_pairs.emplace_back(i, j);
   auto subj_group = conj_groups((int)chunks.size(), subj_pairs);
 
   for (int idx = 0; idx < (int)chunks.size(); ++idx) {

@@ -93,7 +93,10 @@ def beam_ablated(module, params, ctx, seq_length, m, do_merge, do_gather):
             c = jnp.take_along_axis(top_i.reshape(B, m * m), flat_idx, axis=1)
             beam_sum = p
         else:
-            q = jnp.broadcast_to(jnp.arange(m)[None, :], (B, m))
+            # fixed NON-identity permutation: an iota q would let XLA elide
+            # the take_along_axis gathers entirely, under-measuring the
+            # state-gather cost this ablation exists to attribute
+            q = jnp.broadcast_to((jnp.arange(m)[None, :] + 1) % m, (B, m))
             c = top_i[:, :, 0]
             beam_sum = beam_sum + top_lp[:, :, 0]
         if do_gather:

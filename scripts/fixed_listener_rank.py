@@ -173,6 +173,7 @@ def main(argv=None):
                 if val_loss is None:
                     val_loss = ev.evalrank(params, tr.loader, ek,
                                            use_gen_sent=False)
+                    gt_cache[(it, eff_lst)] = val_loss
                 ls = {}
             else:
                 val_loss, predictions, lang_stats = ev.eval_split(

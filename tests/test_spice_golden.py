@@ -319,6 +319,28 @@ def test_possessive_head_owns_following_verb():
     assert ("R", "man", "have", "dog") in t
 
 
+def test_prenominal_participle_is_attribute():
+    # 'beside a PARKED car': the participle is amod of the upcoming head —
+    # it must not clobber the pending 'beside' relation
+    t = tuples("a red fence beside a parked car")
+    assert ("A", "car", "park") in t
+    assert ("R", "fenc", "besid", "car") in t
+    assert ("R", "fenc", "park", "car") not in t
+
+
+def test_prenominal_ing_participle_is_attribute():
+    t = tuples("a picture of flying birds")
+    assert ("A", "bird", "fly") in t
+    assert ("R", "pictur", "of", "bird") in t
+
+
+def test_postnominal_locative_participle_still_verb():
+    # after the noun the same participle is a verb-attribute + locative by
+    t = tuples("a car parked by a fence")
+    assert ("A", "car", "park") in t
+    assert ("R", "car", "by", "fenc") in t
+
+
 @pytest.fixture
 def synonyms(tmp_path):
     """Activate a tiny synset table (jar-style WordNet matching, data-gated),
@@ -402,6 +424,8 @@ def test_synonyms_from_env(tmp_path, monkeypatch):
     "two people looking at each other",
     "a black and white photo of a man",
     "a photo in black and white",
+    "a red fence beside a parked car",
+    "a picture of flying birds",
     "a man's dog runs on a beach",
     "an elderly woman and a butterfly sitting together",
     "a woman sitting on a bench holding a baby",
