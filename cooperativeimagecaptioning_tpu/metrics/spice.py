@@ -91,10 +91,12 @@ IRREGULAR_PARTICIPLES = {
 # participles whose following 'by' is locative, not an agent marker
 # ('a car parked by a fence' must stay park(car) + by(car, fence)); these
 # still parse as verbs (_is_verb) so the participle-attribute path applies
-LOCATIVE_BY_PARTICIPLES = {"parked", "stopped", "docked", "moored", "taken",
+LOCATIVE_BY_PARTICIPLES = {"parked", "stopped", "docked", "moored",
                            "placed", "hung", "situated", "located",
                            "positioned", "seated", "perched", "mounted",
                            "displayed", "lined", "stacked"}
+# ('taken' is deliberately absent: caption 'taken by' is almost always the
+#  agentive passive — 'a photo taken by a man' -> take(man, photo))
 # adverbs are never scene-graph nodes (CoreNLP advmod edges are dropped by
 # the jar's scene-graph rules): -ly tokens are discarded unless they are
 # caption nouns/adjectives that happen to end in -ly
@@ -304,6 +306,15 @@ def parse_tuples(caption: str):
                         rel_objects.add(new)
             if src in climb_link:
                 climb_link[new] = climb_link[src]
+            for k, (a, b) in enumerate(conj_pairs):
+                # a pair minted before the fold ('a cat and a BLACK and
+                # white dog') must follow the merge target, not the
+                # suppressed chunk
+                conj_pairs[k] = (new if a == src else a,
+                                 new if b == src else b)
+            for kk in list(climb_link):
+                if climb_link[kk] == src:
+                    climb_link[kk] = new
             pending_adj_merge = None
         if pending_conj is not None:
             conj_pairs.append((pending_conj, len(chunks) - 1))
@@ -522,7 +533,20 @@ def parse_tuples(caption: str):
             members.setdefault(find(i), []).append(i)
         return lambda i: members[find(i)]
 
-    obj_group = _union_find(conj_pairs)
+    # clausal-parallel dissolution: 'a man wearing a hat AND a woman wearing
+    # a dress' — when the right conjunct is itself the SUBJECT of a relation
+    # with the same predicate as one whose OBJECT is the left conjunct, the
+    # 'and' coordinated two parallel clauses, not two objects of one verb.
+    # ('a table with plates and a vase OF flowers' keeps the NP attachment:
+    # the predicates differ.)
+    subj_rels, obj_rels = {}, {}
+    for si, rel, oi in relations:
+        r = _stem_rel(rel)
+        subj_rels.setdefault(si, set()).add(r)
+        obj_rels.setdefault(oi, set()).add(r)
+    obj_group = _union_find(
+        [(i, j) for i, j in conj_pairs
+         if not (obj_rels.get(i, set()) & subj_rels.get(j, set()))])
     subj_group = _union_find([(i, j) for i, j in conj_pairs
                               if i not in rel_objects
                               and j not in rel_pinned])
@@ -587,6 +611,12 @@ def _synonyms():
     global _SYNONYMS
     if _SYNONYMS is None:
         path = os.environ.get("CIC_SPICE_SYNONYMS", "")
+        if path and not os.path.isfile(path):
+            # an explicitly requested table that cannot be honored must not
+            # silently degrade to exact matching (scores would be
+            # incomparable with synonym-on runs)
+            raise FileNotFoundError(
+                f"CIC_SPICE_SYNONYMS points at a missing file: {path!r}")
         if not path:
             d = os.environ.get("CIC_METEOR_DATA", "")
             cand = os.path.join(d, "synonyms.txt") if d else ""
@@ -622,20 +652,28 @@ def _tuple_match(c: tuple, r: tuple, syn: dict) -> bool:
         _elem_match(x, y, syn) for x, y in zip(c[1:], r[1:]))
 
 
-def _f1(cand: set, ref: set, syn: dict = None):
-    if not cand or not ref:
-        return {"p": 0.0, "r": 0.0, "f": 0.0}
+def _match_flags(cand: set, ref: set, syn: dict):
+    """Per-tuple matched flags in ONE pairwise sweep.  A tuple can only
+    match inside its own category (_tuple_match requires c[0]==r[0]), so the
+    same flags serve the All score and every per-category score — the jar
+    semantics (a side's tuple is matched if ANY tuple on the other side is
+    equivalent; the two sides' counts can differ) at 1/8th the sweeps."""
     if syn:
-        # jar semantics: a side's tuple counts as matched if ANY tuple on
-        # the other side is synonym-equivalent (the counts can differ)
-        m_c = sum(1 for c in cand if any(_tuple_match(c, r, syn) for r in ref))
-        m_r = sum(1 for r in ref if any(_tuple_match(c, r, syn) for c in cand))
-        p = m_c / len(cand)
-        r = m_r / len(ref)
+        cm = {c: any(_tuple_match(c, r, syn) for r in ref) for c in cand}
+        rm = {r: any(_tuple_match(c, r, syn) for c in cand) for r in ref}
     else:
-        inter = len(cand & ref)
-        p = inter / len(cand)
-        r = inter / len(ref)
+        cm = {c: c in ref for c in cand}
+        rm = {r: r in cand for r in ref}
+    return cm, rm
+
+
+def _f1_from_flags(cm: dict, rm: dict, tag=None):
+    cs = [m for t, m in cm.items() if tag is None or t[0] == tag]
+    rs = [m for t, m in rm.items() if tag is None or t[0] == tag]
+    if not cs or not rs:
+        return {"p": 0.0, "r": 0.0, "f": 0.0}
+    p = sum(cs) / len(cs)
+    r = sum(rs) / len(rs)
     f = 2 * p * r / (p + r) if p + r > 0 else 0.0
     return {"p": p, "r": r, "f": f}
 
@@ -649,10 +687,10 @@ def sentence_spice(hyp: str, refs: list) -> dict:
     ref = set()
     for r in refs:
         ref |= parse_tuples(r)
-    out = {"All": _f1(cand, ref, syn)}
+    cm, rm = _match_flags(cand, ref, syn)
+    out = {"All": _f1_from_flags(cm, rm)}
     for name, tag in CATEGORIES.items():
-        out[name] = _f1({t for t in cand if t[0] == tag},
-                        {t for t in ref if t[0] == tag}, syn)
+        out[name] = _f1_from_flags(cm, rm, tag)
     return out
 
 

@@ -120,8 +120,10 @@ const std::map<std::string, std::string>& irregular_participles() {
 }
 
 const std::set<std::string>& locative_by_participles() {
+  // 'taken' is deliberately absent: caption 'taken by' is almost always
+  // the agentive passive ('a photo taken by a man' -> take(man, photo))
   static std::set<std::string> s = {
-      "parked", "stopped", "docked", "moored", "taken", "placed", "hung",
+      "parked", "stopped", "docked", "moored", "placed", "hung",
       "situated", "located", "positioned", "seated", "perched", "mounted",
       "displayed", "lined", "stacked"};
   return s;
@@ -365,6 +367,14 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
       }
       auto cl = climb_link.find(src);
       if (cl != climb_link.end()) climb_link[nw] = cl->second;
+      // a pair minted before the fold ('a cat and a BLACK and white dog')
+      // must follow the merge target, not the suppressed chunk
+      for (auto& [a, b] : conj_pairs) {
+        if (a == src) a = nw;
+        if (b == src) b = nw;
+      }
+      for (auto& [kk, vv] : climb_link)
+        if (vv == src) vv = nw;
       pending_adj_merge = -1;
     }
     if (pending_conj >= 0) {
@@ -583,7 +593,31 @@ void parse_tuples(const std::string& caption, std::set<std::string>& tuples) {
   // asymmetric conj propagation (mirrors metrics/spice.py): objects over
   // every pair, subjects only over pairs whose left member is not itself a
   // relation object
-  auto obj_group = conj_groups((int)chunks.size(), conj_pairs);
+  // clausal-parallel dissolution: 'a man wearing a hat AND a woman wearing
+  // a dress' — when the right conjunct is itself the SUBJECT of a relation
+  // with the same predicate as one whose OBJECT is the left conjunct, the
+  // 'and' coordinated two parallel clauses, not two objects of one verb
+  // ('a table with plates and a vase OF flowers' keeps the NP attachment)
+  std::map<int, std::set<std::string>> subj_rels, obj_rels;
+  for (auto& [si, rel, oi] : relations) {
+    std::string r = stem_rel(rel);
+    subj_rels[si].insert(r);
+    obj_rels[oi].insert(r);
+  }
+  std::vector<std::pair<int, int>> obj_pairs;
+  for (auto& [i, j] : conj_pairs) {
+    bool clausal = false;
+    auto io = obj_rels.find(i);
+    auto js = subj_rels.find(j);
+    if (io != obj_rels.end() && js != subj_rels.end())
+      for (auto& r : io->second)
+        if (js->second.count(r)) {
+          clausal = true;
+          break;
+        }
+    if (!clausal) obj_pairs.emplace_back(i, j);
+  }
+  auto obj_group = conj_groups((int)chunks.size(), obj_pairs);
   std::vector<std::pair<int, int>> subj_pairs;
   for (auto& [i, j] : conj_pairs)
     if (!rel_objects.count(i) && !rel_pinned.count(j))
@@ -650,42 +684,49 @@ bool tuple_match(const std::vector<std::string>& c,
   return true;
 }
 
-void f1(const std::set<std::string>& cand, const std::set<std::string>& ref,
-        char tag, double* out) {
-  std::set<std::string> c, r;
-  for (auto& t : cand)
-    if (tag == 0 || t[0] == tag) c.insert(t);
-  for (auto& t : ref)
-    if (tag == 0 || t[0] == tag) r.insert(t);
-  if (c.empty() || r.empty()) {
-    out[0] = out[1] = out[2] = 0.0;
-    return;
-  }
-  double p, rr;
+// All + Object/Attribute/Relation scores from ONE pairwise sweep: a tuple
+// can only match inside its own category (tuple_match requires c[0]==r[0]),
+// so per-tuple matched flags serve all four scores — the jar semantics (a
+// side's tuple is matched if ANY tuple on the other side is equivalent; the
+// two sides' counts can differ) at 1/8th the sweeps.  out = 12 doubles:
+// {All, O, A, R} x {p, r, f}.
+void score_all(const std::set<std::string>& cand,
+               const std::set<std::string>& ref, double* out) {
+  std::vector<std::string> cs(cand.begin(), cand.end());
+  std::vector<std::string> rs(ref.begin(), ref.end());
+  std::vector<char> cm(cs.size(), 0), rm(rs.size(), 0);
   if (!g_spice_syn.empty()) {
-    // jar semantics: a side's tuple counts as matched if ANY tuple on the
-    // other side is synonym-equivalent (the two counts can differ)
-    std::vector<std::vector<std::string>> cs, rs;
-    for (auto& t : c) cs.push_back(split_us(t));
-    for (auto& t : r) rs.push_back(split_us(t));
-    int m_c = 0, m_r = 0;
-    for (auto& ct : cs)
-      for (auto& rt : rs)
-        if (tuple_match(ct, rt)) { ++m_c; break; }
-    for (auto& rt : rs)
-      for (auto& ct : cs)
-        if (tuple_match(ct, rt)) { ++m_r; break; }
-    p = (double)m_c / c.size();
-    rr = (double)m_r / r.size();
+    std::vector<std::vector<std::string>> cv, rv;
+    for (auto& t : cs) cv.push_back(split_us(t));
+    for (auto& t : rs) rv.push_back(split_us(t));
+    for (size_t i = 0; i < cv.size(); ++i)
+      for (size_t j = 0; j < rv.size(); ++j) {
+        if (cm[i] && rm[j]) continue;
+        if (tuple_match(cv[i], rv[j])) cm[i] = rm[j] = 1;
+      }
   } else {
-    int inter = 0;
-    for (auto& t : c) inter += r.count(t);
-    p = (double)inter / c.size();
-    rr = (double)inter / r.size();
+    for (size_t i = 0; i < cs.size(); ++i) cm[i] = ref.count(cs[i]) > 0;
+    for (size_t j = 0; j < rs.size(); ++j) rm[j] = cand.count(rs[j]) > 0;
   }
-  out[0] = p;
-  out[1] = rr;
-  out[2] = (p + rr > 0) ? 2 * p * rr / (p + rr) : 0.0;
+  const char tags[4] = {0, 'O', 'A', 'R'};
+  for (int k = 0; k < 4; ++k) {
+    char tag = tags[k];
+    int nc = 0, nr = 0, mc = 0, mr = 0;
+    for (size_t i = 0; i < cs.size(); ++i)
+      if (tag == 0 || cs[i][0] == tag) { ++nc; mc += cm[i]; }
+    for (size_t j = 0; j < rs.size(); ++j)
+      if (tag == 0 || rs[j][0] == tag) { ++nr; mr += rm[j]; }
+    double* o = out + 3 * k;
+    if (nc == 0 || nr == 0) {
+      o[0] = o[1] = o[2] = 0.0;
+      continue;
+    }
+    double p = (double)mc / nc;
+    double rr = (double)mr / nr;
+    o[0] = p;
+    o[1] = rr;
+    o[2] = (p + rr > 0) ? 2 * p * rr / (p + rr) : 0.0;
+  }
 }
 
 }  // namespace
@@ -745,10 +786,7 @@ int cic_spice(const char* payload, double* out) {
     if (!e) break;
     p = e + 1;
   }
-  f1(cand, ref, 0, out);        // All
-  f1(cand, ref, 'O', out + 3);  // Object
-  f1(cand, ref, 'A', out + 6);  // Attribute
-  f1(cand, ref, 'R', out + 9);  // Relation
+  score_all(cand, ref, out);  // {All, Object, Attribute, Relation} x {p,r,f}
   return 0;
 }
 

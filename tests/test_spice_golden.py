@@ -341,6 +341,59 @@ def test_postnominal_locative_participle_still_verb():
     assert ("R", "car", "by", "fenc") in t
 
 
+def test_parallel_clauses_do_not_share_objects():
+    # 'X wearing A and Y wearing B': the repeated predicate marks two
+    # parallel clauses — the conj pair (A, Y) must not distribute X's
+    # relation onto Y
+    for cap, bad in [
+        ("a man wearing a hat and a woman wearing a dress",
+         ("R", "man", "wear", "woman")),
+        ("a man in a hat and a woman in a dress",
+         ("R", "man", "in", "woman")),
+        ("a boy holding a bat and a girl holding a glove",
+         ("R", "boi", "hold", "girl")),
+    ]:
+        t = tuples(cap)
+        assert bad not in t, (cap, sorted(t))
+    t = tuples("a man wearing a hat and a woman wearing a dress")
+    assert ("R", "man", "wear", "hat") in t
+    assert ("R", "woman", "wear", "dress") in t
+
+
+def test_np_level_conj_with_different_predicates_still_shares():
+    # different predicates keep the NP attachment: both plates and the vase
+    # are objects of 'with'
+    t = tuples("a table with plates and a vase of flowers")
+    assert ("R", "tabl", "with", "plate") in t
+    assert ("R", "tabl", "with", "vase") in t
+    assert ("R", "vase", "of", "flower") in t
+
+
+def test_adj_fold_remaps_pending_conj_pair():
+    # the (cat, black) pair minted before the adjective fold must follow
+    # the merge target dog — no relation to a suppressed 'black' node
+    t = tuples("a man with a cat and a black and white dog")
+    assert ("R", "man", "with", "dog") in t
+    assert ("R", "man", "with", "black") not in t
+    assert ("A", "dog", "black") in t and ("A", "dog", "white") in t
+
+
+def test_taken_by_is_agentive_passive():
+    t = tuples("a photo taken by a man")
+    assert ("R", "man", "take", "photo") in t
+    assert ("R", "photo", "by", "man") not in t
+
+
+def test_missing_synonyms_env_raises(monkeypatch):
+    monkeypatch.setenv("CIC_SPICE_SYNONYMS", "/nonexistent/synonyms.txt")
+    monkeypatch.setattr(spice, "_SYNONYMS", None)
+    with pytest.raises(FileNotFoundError):
+        spice._synonyms()
+    monkeypatch.setattr(spice, "_SYNONYMS", None)
+    monkeypatch.delenv("CIC_SPICE_SYNONYMS")
+    spice.configure_synonyms(None)
+
+
 @pytest.fixture
 def synonyms(tmp_path):
     """Activate a tiny synset table (jar-style WordNet matching, data-gated),
@@ -426,6 +479,10 @@ def test_synonyms_from_env(tmp_path, monkeypatch):
     "a photo in black and white",
     "a red fence beside a parked car",
     "a picture of flying birds",
+    "a man wearing a hat and a woman wearing a dress",
+    "a table with plates and a vase of flowers",
+    "a man with a cat and a black and white dog",
+    "a photo taken by a man",
     "a man's dog runs on a beach",
     "an elderly woman and a butterfly sitting together",
     "a woman sitting on a bench holding a baby",
