@@ -498,3 +498,49 @@ def test_cpp_tier_parity_on_golden_cases(caption):
     for cat in ("All", "Object", "Attribute", "Relation"):
         for k in ("p", "r", "f"):
             assert abs(got[cat][k] - want[cat][k]) < 1e-12, (caption, cat, k)
+
+
+# every branch-triggering token class: determiners, conjunctions, the 's
+# clitic, relativizers, copulas, preps (incl. multiword parts), locative and
+# agentive participles, -ing verbs, coord adjectives, adverbs
+FUZZ_VOCAB = [
+    "a", "the", "two", "man", "woman", "dog", "cat", "photo", "table",
+    "ball", "park", "street", "young", "old", "black", "white", "red",
+    "and", "or", "'s", "that", "which", "who", "is", "are", "by", "in",
+    "on", "of", "with", "next", "to", "top", "while", "there", "it",
+    "parked", "thrown", "taken", "hung", "wearing", "standing", "holding",
+    "running", "painted", "sitting", "walks", "has", "riding", "flying",
+    "very", "slowly", "each", "other",
+    # synonym-fixture partners so the synonym leg actually exercises
+    # cross-stem matches (cat~feline~kitty, bike~bicycle, man~person)
+    "person", "feline", "kitty", "bike", "bicycle"]
+
+
+def _fuzz_parity(n_trials, seed):
+    import random
+    from cooperativeimagecaptioning_tpu.native import bindings
+    if not bindings.available():
+        pytest.skip("native library unavailable")
+    rng = random.Random(seed)
+    for _ in range(n_trials):
+        cap = " ".join(rng.choices(FUZZ_VOCAB, k=rng.randint(1, 14)))
+        refs = [" ".join(rng.choices(FUZZ_VOCAB, k=rng.randint(1, 14)))
+                for _ in range(2)]
+        want = spice.sentence_spice(cap, refs)
+        got = bindings.spice_sentence(cap, refs)
+        for cat in ("All", "Object", "Attribute", "Relation"):
+            for k in ("p", "r", "f"):
+                assert abs(got[cat][k] - want[cat][k]) < 1e-12, \
+                    (cap, refs, cat, k, want[cat], got[cat])
+
+
+def test_cpp_tier_parity_fuzz():
+    # random token streams hit branch interactions no golden list covers;
+    # a divergence here means one tier's parser drifted from the other
+    _fuzz_parity(400, seed=20260819)
+
+
+def test_cpp_tier_parity_fuzz_synonyms(synonyms):
+    # same sweep with a live synset table (both tiers configured by the
+    # fixture through configure_synonyms -> cic_spice_configure)
+    _fuzz_parity(200, seed=42)
