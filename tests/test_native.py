@@ -111,3 +111,39 @@ def test_spice_cpp_parity():
         for cat in ("All", "Object", "Attribute", "Relation"):
             for k in ("p", "r", "f"):
                 assert abs(got[cat][k] - want[cat][k]) < 1e-12, (hyp, cat, k)
+
+
+def test_tokenizer_parity_fuzz():
+    """Random word + punctuation soups: the C++ tokenizer must reproduce the
+    Python tier byte-for-byte (quotes, clitics, double dashes, brackets,
+    currency/percent, abbreviations)."""
+    import random
+    rng = random.Random(7)
+    pieces = ["a", "man", "dog's", "isn't", "--", "...", "(hello)",
+              "\"fine\"", "it;", "two,", "play:", "grass.", "world?",
+              "don't", "U.S.", "Mr.", "50%", "$5", "3.14", "#1", "a-b",
+              "x--y", "''", "``", "[ok]", "{no}", "he'll", "they're",
+              "won't", "&", "@home", "*"]
+    for _ in range(500):
+        cap = " ".join(rng.choices(pieces, k=rng.randint(0, 10)))
+        want = " ".join(t for t in tokenizer.ptb_tokenize_line(cap)
+                        if t not in tokenizer.PUNCTUATIONS)
+        got = bindings.ptb_tokenize({0: [{"caption": cap}]})[0][0]
+        assert got == want, repr(cap)
+
+
+def test_meteor_parity_fuzz():
+    """Random sentences over a stem-heavy vocab (exact + Porter-stem stages
+    both fire): native per-image scores must match the Python tier."""
+    import random
+    rng = random.Random(11)
+    words = ["a", "man", "rides", "riding", "dog", "park", "the", "on",
+             "grass", "sits", "cat", "running", "ran", "happily", "dogs",
+             "parks", "walked", "walk", "jumps", "jumped"]
+    for _ in range(150):
+        gts = [" ".join(rng.choices(words, k=rng.randint(1, 12)))
+               for _ in range(3)]
+        res = " ".join(rng.choices(words, k=rng.randint(1, 12)))
+        py = meteor.sentence_meteor(res, gts)
+        _, per = bindings.meteor({0: gts}, {0: [res]})
+        assert abs(per[0] - py) < 1e-12, (res, gts)
