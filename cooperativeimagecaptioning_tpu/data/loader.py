@@ -107,7 +107,13 @@ class DataLoader:
                 self.split_ix["train"].append(ix)
         self.iterators = {"train": 0, "val": 0, "test": 0}
         self._consumed_it = None   # set per consumed batch (resume_state)
-        self._consumed_six = None
+        self._consumed_six = None  # {split: order copy} as of consumption
+        # split_ix order versioning: bumped on every train wrap-shuffle so
+        # the fetch path can snapshot each order exactly once (a copy per
+        # epoch, not per batch) while keeping (iterator, order) pairs
+        # consistent for resume
+        self._six_version = {"train": 0, "val": 0, "test": 0}
+        self._six_cache = {}       # split -> (version, order copy)
         self._rng = random.Random(getattr(opt, "seed", 123))
         self._prefetchers = {}
         self._prefetch_enabled = prefetch
@@ -140,6 +146,10 @@ class DataLoader:
         self.iterators[split] = 0
         if self._consumed_it is not None:
             self._consumed_it[split] = 0
+        if self._consumed_six is not None:
+            # position 0 is relative to the CURRENT live order — a stale
+            # pre-shuffle order copy would desynchronize (iterator, order)
+            self._consumed_six[split] = list(self.split_ix[split])
 
     # -- iteration -----------------------------------------------------------
     def _next_index(self, split):
@@ -153,18 +163,20 @@ class DataLoader:
             ri_next = 0
             if split == "train":
                 self._rng.shuffle(ixs)
+                self._six_version[split] += 1
             wrapped = True
         self.iterators[split] = ri_next
         return ix, wrapped
 
-    def _get_captions(self, ix):
-        """ref: dataloader.py:152-169."""
+    def _get_captions(self, ix, spi):
+        """ref: dataloader.py:152-169.  spi is passed explicitly (not read
+        from self) so an eval-time seq_per_img switch can never corrupt a
+        train batch a prefetch worker has in flight."""
         ds = self.ds
         ix1 = ds.label_start_ix[ix] - 1
         ix2 = ds.label_end_ix[ix] - 1
         ncap = ix2 - ix1 + 1
         assert ncap > 0, "an image does not have any label"
-        spi = self.seq_per_img
         if ncap < spi:
             seq = np.zeros([spi, self.seq_length], dtype="int64")
             for q in range(spi):
@@ -175,16 +187,18 @@ class DataLoader:
             seq = ds.label[ixl: ixl + spi, :self.seq_length]
         return seq
 
-    def _fetch_one(self, split):
+    def _fetch_one(self, split, spi):
         ix, wrapped = self._next_index(split)
         if split in self.feature_free_splits:
-            seq = self._get_captions(ix) if self.ds.label is not None else None
+            seq = self._get_captions(ix, spi) \
+                if self.ds.label is not None else None
             return (np.zeros((1,), np.float32), np.zeros((1, 1), np.float32),
                     seq, ix, wrapped)
         fc = self.ds.get_fc(ix) if self.use_fc else np.zeros((1,), np.float32)
         att = self.get_transformed_att(ix) if self.use_att \
             else np.zeros((1, 1), np.float32)
-        seq = self._get_captions(ix) if self.ds.label is not None else None
+        seq = self._get_captions(ix, spi) \
+            if self.ds.label is not None else None
         return fc, att, seq, ix, wrapped
 
     def get_transformed_att(self, ix):
@@ -212,10 +226,10 @@ class DataLoader:
             att = np.stack(sorted(att, key=lambda x: x[-1], reverse=True))
         return att
 
-    def _assemble(self, items, split):
-        """ref: dataloader.py:171-245."""
+    def _assemble(self, items, split, spi):
+        """ref: dataloader.py:171-245.  spi passed explicitly — see
+        _get_captions."""
         batch_size = len(items)
-        spi = self.seq_per_img
         L = self.seq_length
         fc_batch, att_batch, label_batch, gts, infos = [], [], [], [], []
         wrapped = False
@@ -264,17 +278,26 @@ class DataLoader:
         data["infos"] = infos
         return data
 
-    def _fetch_batch(self, split, batch_size):
+    def _fetch_batch(self, split, batch_size, spi=None):
+        if spi is None:
+            spi = self.seq_per_img
         data = self._assemble(
-            [self._fetch_one(split) for _ in range(batch_size)], split)
-        # snapshot the post-batch iterator state WITH the batch: with the
-        # prefetcher running, the live iterators are up to depth+1 batches
-        # ahead of what the trainer consumed — checkpointing the live state
-        # would make resume skip data (and a wrap-time shuffle recorded
-        # early would desynchronize split_ix from the recorded position)
-        snap_six = {k: list(v) for k, v in self.split_ix.items()} \
-            if data["bounds"]["wrapped"] else None
-        return data, (dict(self.iterators), snap_six)
+            [self._fetch_one(split, spi) for _ in range(batch_size)],
+            split, spi)
+        # snapshot the post-batch (iterator, order) pair WITH the batch:
+        # with the prefetcher running, the live iterators are up to depth+1
+        # batches ahead of what the trainer consumed — checkpointing the
+        # live state would make resume skip data, and a fetched-not-consumed
+        # wrap shuffle would leave the recorded position meaningful only in
+        # an order the checkpoint doesn't carry.  The order copy is cached
+        # per shuffle version (one list copy per epoch, in this same fetch
+        # thread, so it can never tear against the shuffle).
+        ver = self._six_version[split]
+        cache = self._six_cache.get(split)
+        if cache is None or cache[0] != ver:
+            cache = (ver, list(self.split_ix[split]))
+            self._six_cache[split] = cache
+        return data, (split, self.iterators[split], cache[1])
 
     def _drop_prefetcher(self, split):
         pf = self._prefetchers.pop(split, None)
@@ -288,35 +311,49 @@ class DataLoader:
             self._record_consumed(snap)
             return data
         pf = self._prefetchers.get(split)
-        if pf is not None and pf.batch_size != batch_size:
-            # a different batch_size invalidates the prefetched batches
+        if pf is not None and (pf.batch_size != batch_size
+                               or pf.seq_per_img != self.seq_per_img):
+            # a different batch_size or seq_per_img (eval's rank pass
+            # switches it) invalidates the prefetched batches
             self._drop_prefetcher(split)
             pf = None
         if pf is None:
+            # bind spi into the fetch closure: an eval-time seq_per_img
+            # switch must never leak into this split's in-flight fetches
+            spi = self.seq_per_img
             pf = _Prefetcher(
-                lambda s=split, b=batch_size: self._fetch_batch(s, b),
+                lambda s=split, b=batch_size, p=spi:
+                self._fetch_batch(s, b, p),
                 self._prefetch_depth)
             pf.batch_size = batch_size
+            pf.seq_per_img = spi
             self._prefetchers[split] = pf
         data, snap = pf.get()
         self._record_consumed(snap)
         return data
 
     def _record_consumed(self, snap):
-        it, six = snap
-        self._consumed_it = it
-        if six is not None:
-            self._consumed_six = six
+        # merge PER SPLIT: a val batch consumed during a checkpoint eval
+        # must not clobber the train entries with live (fetch-ahead) state
+        split, pos, six = snap
+        if self._consumed_it is None:
+            self._consumed_it = dict(self.iterators)
+        if self._consumed_six is None:
+            self._consumed_six = {}
+        self._consumed_it[split] = pos
+        self._consumed_six[split] = six
 
     def resume_state(self):
-        """(iterators, split_ix) as of the last CONSUMED batch — what a
-        checkpoint must record for exact resume (the live attributes run
-        ahead while the prefetcher is active)."""
+        """(iterators, split_ix) as of the last CONSUMED batch per split —
+        what a checkpoint must record for exact resume (the live attributes
+        run ahead while the prefetcher is active).  Splits never consumed
+        this session fall back to the live state, which is exact for them
+        (no prefetcher has touched their iterator or order)."""
         if self._consumed_it is None:
             return self.iterators, self.split_ix
-        return self._consumed_it, \
-            self._consumed_six if self._consumed_six is not None \
-            else self.split_ix
+        six = dict(self.split_ix)
+        six.update(self._consumed_six or {})
+        return self._consumed_it, six
 
     def close(self):
         for split in list(self._prefetchers):

@@ -103,7 +103,9 @@ def main(argv=None):
         val_loss, predictions, lang_stats = ev.eval_split(
             tr._eval_params(), tr.loader, eval_kwargs,
             use_gen_sent=opt.rank_on_gen_captions)
-        timings[label] = round(time.time() - t1, 1)
+        # ms precision: tiny-dim runs finish in <50ms and must not round
+        # to a 0.0 that reads as "didn't run"
+        timings[label] = round(time.time() - t1, 3)
         stats = {"n_predictions": len(predictions),
                  "CIDEr": (lang_stats or {}).get("CIDEr"),
                  "rsum": (val_loss.get("rsum")

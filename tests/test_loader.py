@@ -104,7 +104,7 @@ def test_prefetch_propagates_fetch_errors():
     silently and hanging the consumer."""
     ld = make(prefetch=True)
 
-    def boom(split):
+    def boom(split, spi):
         raise OSError("corrupt feature file")
     ld._fetch_one = boom
     try:
@@ -152,4 +152,57 @@ def test_prefetch_resume_state_tracks_consumed_not_fetched():
     ld.get_batch("train")
     it2, _ = ld.resume_state()
     assert it2["train"] == 8, it2
+    ld.close()
+
+
+def test_prefetch_seq_per_img_switch_invalidates():
+    """Eval's rank pass flips loader.seq_per_img; in-flight prefetched
+    batches built with the old value must be dropped, not served."""
+    ld = make(prefetch=True)
+    d = ld.get_batch("train")
+    assert d["labels"].shape[0] == 4 * 2
+    ld.seq_per_img = 1
+    d = ld.get_batch("train")
+    assert d["labels"].shape[0] == 4 * 1, d["labels"].shape
+    # and back again
+    ld.seq_per_img = 2
+    d = ld.get_batch("train")
+    assert d["labels"].shape[0] == 4 * 2
+    ld.close()
+
+
+def test_resume_state_per_split_consumed_merge():
+    """Consuming a val batch (checkpoint eval) must not clobber the train
+    entries of the consumed view with live fetch-ahead state."""
+    import time
+    ld = make(prefetch=True, prefetch_batches=3)
+    ld.get_batch("train")                  # consume exactly one train batch
+    for _ in range(100):                   # let the worker run ahead
+        if ld.iterators["train"] != 4:
+            break
+        time.sleep(0.02)
+    ld.get_batch("val")                    # a checkpoint-eval style read
+    it, _ = ld.resume_state()
+    assert it["train"] == 4, it            # not the live fetch-ahead value
+    assert it["val"] == 4 % len(ld.split_ix["val"]) or it["val"] == 4, it
+    ld.close()
+
+
+def test_resume_state_order_survives_unconsumed_wrap():
+    """A wrap-time shuffle that only the prefetch worker has seen (fetched,
+    not consumed) must not leak into resume_state: the recorded order must
+    stay the one the consumed position indexes into."""
+    import time
+    ld = make(prefetch=True, prefetch_batches=4)
+    order0 = list(ld.split_ix["train"])    # 6 train images: wrap at batch 2
+    data = ld.get_batch("train")           # consume batch 1 only
+    for _ in range(200):                   # worker crosses the wrap
+        if ld._six_version["train"] > 0:
+            break
+        time.sleep(0.02)
+    assert ld._six_version["train"] > 0, "prefetcher never crossed the wrap"
+    it, six = ld.resume_state()
+    assert it["train"] == 4
+    assert six["train"] == order0, "post-shuffle order leaked into resume"
+    assert [i["ix"] for i in data["infos"]] == six["train"][:4]
     ld.close()
