@@ -7,4 +7,4 @@ gradient all-reduce and the embedding all-gathers), and vocab-sharded logit/embe
 for the model axis."""
 
 from cooperativeimagecaptioning_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, shard_batch, replicate, param_shardings)
+    make_mesh, shard_batch, shard_batch_stacked, replicate, param_shardings)

@@ -78,6 +78,27 @@ def shard_batch(batch, mesh: Mesh):
         put, batch, is_leaf=lambda x: x is None)
 
 
+def shard_batch_stacked(xs, mesh: Mesh):
+    """shard_batch for fused-chunk inputs stacked on a leading K (step) axis
+    (training/loop.py Trainer.train_chunk): axis 1 holds each step's batch
+    rows, so THAT axis shards over 'data'; [K]-shaped per-step scalars
+    (hp fields, lr) and non-divisible leaves replicate."""
+    n_data = mesh.shape.get("data", 1)
+    sharded = NamedSharding(mesh, P(None, "data"))
+    replicated = NamedSharding(mesh, P())
+
+    def put(x):
+        if x is None:
+            return None
+        ok = np.ndim(x) > 1 and x.shape[1] % n_data == 0
+        want = sharded if ok else replicated
+        if isinstance(x, jax.Array) and x.committed and \
+                x.sharding.is_equivalent_to(want, x.ndim):
+            return x
+        return jax.device_put(x, want)
+    return jax.tree_util.tree_map(put, xs, is_leaf=lambda x: x is None)
+
+
 def _speaker_rules(path):
     """PartitionSpec for a speaker param leaf, keyed by its tree path."""
     names = [getattr(p, "key", getattr(p, "name", "")) for p in path]

@@ -105,9 +105,10 @@ def _df_lookup(keys, dfs, q):
     return jnp.where(keys[idx] == qf, dfs[idx], 0.0).reshape(shape)
 
 
-def pad_gts(gts_list, max_refs=None, seq_length=None):
-    """Host helper: list of [n_i, L_i] ref arrays -> (refs [n_img, R, L],
-    ref_mask [n_img, R])."""
+def pad_gts_np(gts_list, max_refs=None, seq_length=None):
+    """Host helper: list of [n_i, L_i] ref arrays -> numpy (refs [n_img, R, L],
+    ref_mask [n_img, R]).  Kept on host so callers that stack several batches
+    (the fused multi-step trainer) pay one device transfer, not one per batch."""
     n_img = len(gts_list)
     R = max_refs or max(len(g) for g in gts_list)
     L = seq_length or max(int(np.asarray(g).shape[1]) for g in gts_list)
@@ -117,6 +118,12 @@ def pad_gts(gts_list, max_refs=None, seq_length=None):
         g = np.asarray(g)[:R]
         refs[i, :len(g), :g.shape[1]] = g
         mask[i, :len(g)] = 1.0
+    return refs, mask
+
+
+def pad_gts(gts_list, max_refs=None, seq_length=None):
+    """Device variant of pad_gts_np (one transfer per call)."""
+    refs, mask = pad_gts_np(gts_list, max_refs=max_refs, seq_length=seq_length)
     return jnp.asarray(refs), jnp.asarray(mask)
 
 

@@ -339,8 +339,12 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
     return loss, aux
 
 
-def make_step_fns(opt, turn: str):
-    """Build (sample_fn, value_and_grad_fn) jitted for a given static turn."""
+def make_raw_fns(opt, turn: str):
+    """Unjitted (sample_fn, value_and_grad_fn) pair for a static turn.
+
+    The per-step path jits these directly (make_step_fns); the fused
+    multi-step trainer (training/loop.py Trainer._chunk_fn) embeds them in a
+    lax.scan body so K iterations compile into ONE device program."""
     modules = {"speaker": model_zoo.setup(opt, opt.caption_model,
                                           "caption_model")}
 
@@ -350,9 +354,13 @@ def make_step_fns(opt, turn: str):
     def _loss(params, batch, rng, hp, reward):
         return loss_fn(modules, params, opt, batch, rng, hp, turn, reward)
 
-    sample_fn = jax.jit(_sample)
-    grad_fn = jax.jit(jax.value_and_grad(_loss, has_aux=True))
-    return sample_fn, grad_fn
+    return _sample, jax.value_and_grad(_loss, has_aux=True)
+
+
+def make_step_fns(opt, turn: str):
+    """Build (sample_fn, value_and_grad_fn) jitted for a given static turn."""
+    sample, grad = make_raw_fns(opt, turn)
+    return jax.jit(sample), jax.jit(grad)
 
 
 def uses_soft_cider(opt, turn: str) -> bool:

@@ -160,6 +160,8 @@ class Trainer:
         self.ss_prob_history = histories.get("ss_prob_history", {})
 
         self._step_fns = {}
+        self._chunk_fns = {}       # turn -> jitted fused multi-step scan
+        self._fused_notice = None  # one-time fallback notice (train())
         self._rng = jax.random.PRNGKey(seed + 1)
         self._evaluator = None
         # cached-df tier for the on-device reward: linear-in-B df lookups
@@ -512,6 +514,206 @@ class Trainer:
             self._update_schedules()
         return loss_dict, turn, data
 
+    # -- fused multi-step execution (TPU-native extension; no reference
+    # analog).  K iterations compile into ONE lax.scan program: one dispatch
+    # and one stacked host->device transfer per chunk instead of per step.
+    # Measured on v5e through the tunnel at B=128 full dims: MLE 42 -> 155
+    # it/s, joint gumbel + on-device CIDEr 40 -> 60 it/s
+    # (scripts/bench_fused_steps.py). ------------------------------------------
+    def _fused_gate(self):
+        """Why the fused multi-step path can't run (None = it can).
+
+        Every fallback is a per-step host interaction the scan cannot carry:
+        the host CIDEr reward, reinforce's per-iteration turn flip (two
+        different step graphs), BN running-stat tracking, the grad-isolation
+        audit, and the profiler window's iteration boundaries."""
+        opt = self.opt
+        if int(getattr(opt, "fused_steps", 1) or 1) <= 1:
+            return "off"
+        if opt.is_alternating and len(self.turns) != 1:
+            return "reinforce turn alternation changes the step graph " \
+                   "per iteration"
+        turn = self.turns[0] if opt.is_alternating else "optimizer"
+        if joint.needs_reward(opt, turn):
+            return "host-side reward stage (use --on_device_cider 1)"
+        if getattr(opt, "use_bn", 0):
+            return "BN running-stat tracking updates per step on host"
+        if getattr(opt, "audit_grad_isolation", 0):
+            return "grad-isolation audit host-syncs per step"
+        if getattr(opt, "profile_dir", ""):
+            return "profiler window needs per-step boundaries"
+        if self._feat_cache is None:
+            return "requires --device_feature_cache 1 (per-step feature " \
+                   "streaming would dominate the fused step)"
+        if opt.use_att and "att" not in self._feat_cache:
+            return "att features missing from the device cache"
+        return None
+
+    def _hyper_row(self, epoch, g_temp):
+        """One step's Hyper values as HOST floats (field order = joint.Hyper).
+        Pure in (epoch, g_temp) exactly like _update_schedules +
+        train_iteration's per-step recomputes, so staging K steps ahead
+        reproduces the per-step schedule bit-for-bit."""
+        opt = self.opt
+        pg, pm = schedules.soft_sampling_probs(opt, epoch, self.epoch_start)
+        return (schedules.scheduled_sampling_prob(opt, epoch), g_temp,
+                opt.multinomial_temp, pg, pm, opt.caption_loss_weight,
+                opt.vse_loss_weight,
+                schedules.retrieval_reward_weight(opt, epoch),
+                opt.cider_optimization)
+
+    def _stage_chunk(self, max_steps):
+        """Fetch up to max_steps train batches and precompute every step's
+        schedule values on host.  Stops early when a wrap reaches max_epochs
+        (train() must observe the break right after that iteration)."""
+        opt, loader = self.opt, self.loader
+        turn = self.turns[0] if opt.is_alternating else "optimizer"
+        want_refs = joint.needs_device_refs(opt) and \
+            joint._cider_active(opt, turn)
+        labels, masks, idxs, gts_all = [], [], [], []
+        hp_rows, lrs = [], []
+        epoch, g_temp, wraps = self.epoch, self.gumbel_temp, 0
+        last_data = None
+        for j in range(max_steps):
+            it_j = self.iteration + j
+            # mirrors train_iteration's entry order: anneal check on the
+            # pre-increment counter, schedules from the CURRENT epoch
+            if schedules.should_anneal(opt, it_j):
+                g_temp = schedules.anneal_gumbel_temp(g_temp, opt, it_j)
+            hp_rows.append(self._hyper_row(epoch, g_temp))
+            lrs.append(schedules.current_lr(opt, epoch))
+            data = loader.get_batch("train")
+            last_data = data
+            labels.append(data["labels"])
+            masks.append(data["masks"])
+            idxs.append(np.asarray([i["ix"] for i in data["infos"]],
+                                   np.int32))
+            if want_refs and data.get("gts"):
+                gts_all.append(data["gts"])
+            if data["bounds"]["wrapped"]:
+                epoch += 1
+                wraps += 1
+                if epoch >= opt.max_epochs != -1:
+                    break
+        K = len(labels)
+        st = {"n_steps": K, "turn": turn, "wraps": wraps, "g_temp": g_temp,
+              "last_data": last_data,
+              "lrs": lrs, "ss": [r[0] for r in hp_rows]}
+        xs = {"labels": np.stack(labels).astype(np.int32),
+              # masks/ref_mask are exact {0,1}: stage uint8, cast in-scan
+              "masks": np.stack(masks).astype(np.uint8),
+              "idx": np.stack(idxs),
+              "lr": np.asarray(lrs, np.float32),
+              "hp": joint.Hyper(*(np.asarray(c, np.float32)
+                                  for c in zip(*hp_rows)))}
+        if gts_all:
+            from cooperativeimagecaptioning_tpu.rewards import ngram_device
+            R = max(len(g) for gts in gts_all for g in gts)
+            pairs = [ngram_device.pad_gts_np(g, max_refs=R,
+                                             seq_length=loader.seq_length)
+                     for g in gts_all]
+            xs["refs"] = np.stack([p[0] for p in pairs])
+            xs["ref_mask"] = np.stack([p[1] for p in pairs]).astype(np.uint8)
+        st["xs"] = xs
+        return st
+
+    def _chunk_fn(self, turn):
+        """Jitted K-step scan: carry (params, opt states, rng), consume the
+        stacked per-step inputs, reproduce train_iteration's device work
+        (cache gather -> grad -> per-step lr injection -> guarded update)."""
+        if turn in self._chunk_fns:
+            return self._chunk_fns[turn]
+        from cooperativeimagecaptioning_tpu.training.optim import (
+            agents_to_update, guarded_update)
+        opt = self.opt
+        _, raw_grad = joint.make_raw_fns(opt, turn)
+        txs = self.optim.txs
+        agents = tuple(a for a in agents_to_update(opt, turn)
+                       if a in self.params)
+        spi = self.loader.seq_per_img
+        use_att = bool(opt.use_att)
+
+        def run_chunk(params, states, rng, cache, df_table, xs):
+            def body(carry, x):
+                params, states, rng = carry
+                rng, step_rng = jax.random.split(rng)
+                rows = jnp.repeat(x["idx"], spi, axis=0)
+                batch = {"fc_feats": jnp.take(cache["fc"], rows, axis=0),
+                         "labels": x["labels"],
+                         "masks": x["masks"].astype(jnp.float32),
+                         "att_feats": None, "att_masks": None}
+                if use_att:
+                    batch["att_feats"] = jnp.take(
+                        cache["att"], rows, axis=0).astype(jnp.float32)
+                    batch["att_masks"] = jnp.take(
+                        cache["att_mask"], rows, axis=0)
+                if "refs" in x:
+                    batch["refs"] = x["refs"]
+                    batch["ref_mask"] = x["ref_mask"].astype(jnp.float32)
+                if df_table is not None:
+                    batch["df_table"] = df_table
+                # per-step epoch-decayed lr, injected exactly where set_lr
+                # puts it on the per-step path
+                states = {a: s._replace(hyperparams=dict(
+                    s.hyperparams, learning_rate=x["lr"]))
+                    for a, s in states.items()}
+                reward = jnp.zeros((x["labels"].shape[0],), jnp.float32)
+                (loss, aux), grads = raw_grad(params, batch, step_rng,
+                                              x["hp"], reward)
+                params, states, ok = guarded_update(
+                    txs, params, grads, states, agents)
+                return (params, states, rng), (loss, aux, ok)
+            (params, states, rng), (losses, auxs, oks) = jax.lax.scan(
+                body, (params, states, rng), xs)
+            return params, states, rng, losses, auxs, oks
+
+        fn = jax.jit(run_chunk)
+        self._chunk_fns[turn] = fn
+        return fn
+
+    def train_chunk(self, max_steps):
+        """Run up to max_steps iterations as one compiled scan.  Semantics
+        match per-step train_iteration: same PRNG stream (carried split),
+        same schedule values, same guarded update and histories cadence.
+        Returns (loss_dict_of_last_step, turn, last_data, n_steps)."""
+        opt = self.opt
+        st = self._stage_chunk(max_steps)
+        K, turn = st["n_steps"], st["turn"]
+        xs = {k: jnp.asarray(v) if not isinstance(v, joint.Hyper)
+              else jax.tree.map(jnp.asarray, v) for k, v in st["xs"].items()}
+        if self.mesh is not None:
+            from cooperativeimagecaptioning_tpu import parallel
+            xs = parallel.shard_batch_stacked(xs, self.mesh)
+        cache = {k: self._feat_cache[k]
+                 for k in ("fc", "att", "att_mask") if k in self._feat_cache}
+        fn = self._chunk_fn(turn)
+        params, states, rng, losses, auxs, oks = fn(
+            self.params, self.optim.states, self._rng, cache,
+            self._df_table, xs)
+        self.params = params
+        self.optim.load_state_dict(states)
+        self._rng = rng
+        self.optim.last_step_ok = oks[-1]
+        self.optim._skipped = self.optim._skipped + (
+            K - jnp.sum(oks.astype(jnp.int32)))
+
+        # histories at the per-step cadence (device slices, converted lazily
+        # at checkpoint time like the per-step path)
+        for j in range(K):
+            it_j = self.iteration + j + 1
+            if it_j % opt.losses_log_every == 0:
+                self.loss_history[it_j] = losses[j]
+                self.lr_history[it_j] = st["lrs"][j]
+                self.ss_prob_history[it_j] = st["ss"][j]
+        self.iteration += K
+        self.epoch += st["wraps"]
+        self.gumbel_temp = st["g_temp"]
+        self._update_schedules()
+
+        loss_dict = {k: v[-1] for k, v in auxs.items()}
+        loss_dict["loss"] = losses[-1]
+        return loss_dict, turn, st["last_data"], K
+
     # -- checkpoint ops (ref: train.py:438-470) --------------------------------
     def evaluator(self):
         if self._evaluator is None:
@@ -612,6 +814,12 @@ class Trainer:
     def train(self, max_iterations=None):
         opt = self.opt
         profiling = False
+        fused_gate = self._fused_gate()
+        if int(getattr(opt, "fused_steps", 1) or 1) > 1 and fused_gate and \
+                self.verbose and self._fused_notice != fused_gate:
+            print(f"fused_steps={opt.fused_steps} requested but falling back "
+                  f"to per-step execution: {fused_gate}")
+            self._fused_notice = fused_gate
         while True:
             # profiler window (SURVEY.md §5.1; --profile_dir/--profile_start)
             if getattr(opt, "profile_dir", "") and not profiling and \
@@ -620,7 +828,20 @@ class Trainer:
                 profiling = True
                 profile_stop = self.iteration + opt.profile_steps
             start = time.time()
-            loss_dict, turn, data = self.train_iteration()
+            if fused_gate is None:
+                # chunk never crosses a checkpoint boundary or max_iterations
+                chunk = min(int(opt.fused_steps),
+                            opt.save_checkpoint_every -
+                            (self.iteration % opt.save_checkpoint_every))
+                if max_iterations is not None:
+                    chunk = min(chunk, max_iterations - self.iteration)
+                if opt.start_with_checkpoint:
+                    chunk = 1  # the forced first checkpoint fires after it
+                loss_dict, turn, data, n_steps = self.train_chunk(
+                    max(1, chunk))
+            else:
+                loss_dict, turn, data = self.train_iteration()
+                n_steps = 1
             if profiling and self.iteration >= profile_stop:
                 jax.profiler.stop_trace()
                 profiling = False
@@ -628,8 +849,10 @@ class Trainer:
                 dur = time.time() - start
                 msg = " ".join(f"{k} = {round(float(v), 2)}"
                                for k, v in sorted(loss_dict.items()))
-                print(f"iter {self.iteration} (epoch {self.epoch}) [{turn}] "
-                      f"{msg} time/batch = {dur:.2f}s")
+                span = f"iter {self.iteration}" if n_steps == 1 else \
+                    f"iter {self.iteration - n_steps + 1}-{self.iteration}"
+                print(f"{span} (epoch {self.epoch}) [{turn}] "
+                      f"{msg} time/batch = {dur / n_steps:.2f}s")
             if self.iteration % opt.save_checkpoint_every == 0 or \
                     opt.start_with_checkpoint:
                 self.checkpoint_operations()
