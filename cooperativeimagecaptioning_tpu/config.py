@@ -159,7 +159,7 @@ _FLAGS = [
     ("fused_steps", int, 1, "fuse K training iterations into one compiled "
                             "lax.scan (one dispatch + one stacked host "
                             "transfer per K steps instead of per step; "
-                            "measured 3.7x on MLE / 1.5x on the joint step "
+                            "measured 4.3x on MLE / 1.3x on the joint step "
                             "at B=128 through the device tunnel).  Requires "
                             "--device_feature_cache 1; falls back to "
                             "per-step execution (with a one-time notice) "

@@ -132,6 +132,35 @@ def build(batch=128, n_images=2048, mode="mle"):
                 step_scan=step_scan, mode=mode)
 
 
+def run_fused(batch=128, fuse_k=20, iters=60, mode="mle"):
+    """Fused-scan throughput only (it/s) — the driver bench's
+    train_mle_fused_it_per_s metric (bench.py): compiles just the K-step scan
+    program, then times whole chunks including the stacked host transfers."""
+    ctx = build(batch=batch, mode=mode)
+    key = jax.random.PRNGKey(0)
+    host_batches = [ctx["make_host_batch"](i) for i in range(iters)]
+    n_chunks = max(1, iters // fuse_k)
+
+    def stack(chunk):
+        out = {k: jnp.asarray(np.stack([hb[k] for hb in chunk]))
+               for k in chunk[0]}
+        out["_i"] = jnp.arange(len(chunk), dtype=jnp.int32)
+        return out
+
+    p, states = ctx["params"], ctx["optim"].states
+    st0 = stack(host_batches[:fuse_k])
+    p1, s1, loss = ctx["step_scan"](p, states, ctx["cache"], st0, key)
+    np.asarray(loss)  # compile + sync
+    t0 = time.perf_counter()
+    for c in range(n_chunks):
+        st = stack(host_batches[(c * fuse_k) % iters:
+                                (c * fuse_k) % iters + fuse_k])
+        key = jax.random.fold_in(key, 10_000 + c)
+        p, states, loss = ctx["step_scan"](p, states, ctx["cache"], st, key)
+    np.asarray(loss)
+    return n_chunks * fuse_k / (time.perf_counter() - t0)
+
+
 def run(batch=128, fuse_k=20, iters=60, mode="mle"):
     ctx = build(batch=batch, mode=mode)
     params, optim, cache = ctx["params"], ctx["optim"], ctx["cache"]
