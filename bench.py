@@ -132,32 +132,77 @@ def bench_train(batch: int = 128, iters: int = 30):
     return caps_per_s / batch
 
 
+def bench_train_fused(batch: int = 128, fuse_k: int = 20, iters: int = 60):
+    """--fused_steps tier: K MLE iterations per compiled lax.scan, timed with
+    the stacked per-chunk host transfers included (the production Trainer
+    shape under --device_feature_cache 1)."""
+    import contextlib
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.bench_fused_steps import run_fused
+    with contextlib.redirect_stdout(sys.stderr):
+        return run_fused(batch=batch, fuse_k=fuse_k, iters=iters, mode="mle")
+
+
 def _probe_backend(max_attempts: int = 5, backoff_s: float = 60.0,
                    probe_timeout_s: float = 240.0, env=None):
     """Probe backend init in a SUBPROCESS with a hard timeout: a dead axon
     tunnel either raises UNAVAILABLE or wedges the first device call forever
     (CLAUDE.md wedge signature), and even `import jax` stalls ~100s in plugin
     registration while it is down — none of which may kill the bench process.
-    Retries with backoff (tunnel blips are routine). Returns the platform
-    string on success, None after final failure."""
+    Retries with backoff (tunnel blips are routine).
+
+    When the preset JAX_PLATFORMS names a plugin backend (axon) that fails
+    registration — observed environment drift: the chip re-appears as the
+    native 'tpu' PJRT platform while the stale env var still says axon — a
+    second candidate env with JAX_PLATFORMS=tpu is probed in the same
+    attempt (dropped after one wedge: it is insurance, not the primary).
+
+    Returns (platform, jax_platforms) on success — jax_platforms is the env
+    value the caller must adopt via jax.config.update('jax_platforms', ...)
+    when not None — or None after final failure."""
+    import os
     import subprocess
     code = ("import jax\n"
             "p = jax.devices()[0].platform\n"
             "import jax.numpy as jnp\n"
             "assert float(jnp.ones(()).sum()) == 1.0\n"
             "print('PROBE_OK', p)\n")
+    inherited = dict(os.environ if env is None else env)
+    preset = inherited.get("JAX_PLATFORMS", "")
+    if preset == "cpu":
+        # explicit CPU run (CI/local sanity): the child doesn't need the
+        # axon plugin — and its sitecustomize register() wedges at
+        # interpreter start while the tunnel is half-up, even under
+        # JAX_PLATFORMS=cpu (CLAUDE.md import-stall signature)
+        inherited["PYTHONPATH"] = os.pathsep.join(
+            p for p in inherited.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p)
+    candidates = [(inherited, None)]
+    if preset not in ("", "cpu", "tpu"):
+        alt = dict(inherited)
+        alt["JAX_PLATFORMS"] = "tpu"
+        candidates.append((alt, "tpu"))
+    wedged_alts = set()
     for attempt in range(max_attempts):
-        try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, text=True,
-                               timeout=probe_timeout_s, env=env)
-            for line in reversed(r.stdout.strip().splitlines()):
-                if line.startswith("PROBE_OK "):
-                    return line.split(" ", 1)[1]
-            detail = (r.stderr or "").strip().splitlines()
-            detail = detail[-1] if detail else f"rc={r.returncode}"
-        except subprocess.TimeoutExpired:
-            detail = f"probe wedged >{probe_timeout_s:.0f}s (tunnel down?)"
+        detail = "no candidate ran"
+        for idx, (cand_env, jax_platforms) in enumerate(candidates):
+            if idx in wedged_alts:
+                continue
+            try:
+                r = subprocess.run([sys.executable, "-c", code],
+                                   capture_output=True, text=True,
+                                   timeout=probe_timeout_s, env=cand_env)
+                for line in reversed(r.stdout.strip().splitlines()):
+                    if line.startswith("PROBE_OK "):
+                        return line.split(" ", 1)[1], jax_platforms
+                detail = (r.stderr or "").strip().splitlines()
+                detail = detail[-1] if detail else f"rc={r.returncode}"
+            except subprocess.TimeoutExpired:
+                detail = (f"probe wedged >{probe_timeout_s:.0f}s "
+                          f"(tunnel down?)")
+                if idx > 0:  # the tpu fallback wedging once is conclusive
+                    wedged_alts.add(idx)
         if attempt + 1 < max_attempts:
             print(f"backend probe {attempt + 1}/{max_attempts} failed "
                   f"({detail}); retry in {backoff_s:.0f}s", file=sys.stderr)
@@ -179,8 +224,8 @@ def main():
     t0 = time.time()
     baseline = 5000.0  # north-star target captions/sec/chip (BASELINE.json)
 
-    platform = _probe_backend()
-    if platform is None:
+    probe = _probe_backend()
+    if probe is None:
         print(json.dumps({
             "metric": "captions_per_sec_per_chip_beam1", "value": None,
             "unit": "captions/s", "vs_baseline": None,
@@ -189,6 +234,11 @@ def main():
                       "with 60s backoff",
         }))
         return
+    platform, jax_platforms = probe
+    if jax_platforms is not None:
+        # the probe only succeeded under a different JAX_PLATFORMS than the
+        # (stale) preset — adopt it before this process touches any device
+        jax.config.update("jax_platforms", jax_platforms)
 
     dtype = jnp.bfloat16
     on_cpu = platform == "cpu"
@@ -235,6 +285,10 @@ def main():
          lambda: bench_beam(8 if on_cpu else 1024, 5, dtype)),
         ("train_mle_it_per_s",
          lambda: bench_train(8 if on_cpu else 128, iters=5 if on_cpu else 30)),
+        ("train_mle_fused_it_per_s",
+         lambda: bench_train_fused(8 if on_cpu else 128,
+                                   fuse_k=4 if on_cpu else 20,
+                                   iters=8 if on_cpu else 60)),
         ("resnet101_images_per_sec",
          lambda: bench_resnet(1 if on_cpu else 16, 64 if on_cpu else 448)),
     ]

@@ -25,6 +25,11 @@ def test_ensure_devices_never_touches_default_platform():
     only if _ensure_devices selects cpu before its first jax.devices()."""
     env = dict(os.environ, JAX_PLATFORMS="nonexistent_backend")
     env.pop("XLA_FLAGS", None)
+    # strip the axon sitecustomize: its register() can wedge the child at
+    # interpreter start while the tunnel is half-up, regardless of platform
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p) or REPO
     r = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g\n"
@@ -61,7 +66,9 @@ def test_probe_backend_retries_then_gives_up(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     monkeypatch.setattr(bench.time, "sleep", calls["sleep"].append)
-    assert bench._probe_backend(max_attempts=3, backoff_s=7.0) is None
+    env = dict(os.environ, JAX_PLATFORMS="cpu")  # single candidate
+    assert bench._probe_backend(max_attempts=3, backoff_s=7.0,
+                                env=env) is None
     assert calls["run"] == 3
     assert calls["sleep"] == [7.0, 7.0]  # no sleep after the final attempt
 
@@ -75,7 +82,52 @@ def test_probe_backend_parses_platform(monkeypatch):
         stderr = ""
 
     monkeypatch.setattr(subprocess, "run", lambda *a, **k: R())
-    assert bench._probe_backend(max_attempts=1) == "axon"
+    assert bench._probe_backend(max_attempts=1) == ("axon", None)
+
+
+def test_probe_backend_falls_back_to_native_tpu(monkeypatch):
+    """Environment drift: JAX_PLATFORMS=axon is preset but the plugin never
+    registered (register() failures are swallowed by the sitecustomize), so
+    the inherited probe fails FAST while the chip is reachable as the native
+    'tpu' PJRT platform.  The probe must try JAX_PLATFORMS=tpu in the same
+    attempt and report the value the caller must adopt."""
+    import bench
+    seen_envs = []
+
+    def fake_run(cmd, env=None, **k):
+        seen_envs.append(env.get("JAX_PLATFORMS"))
+
+        class R:
+            returncode = 1 if env.get("JAX_PLATFORMS") == "axon" else 0
+            stdout = ("" if env.get("JAX_PLATFORMS") == "axon"
+                      else "PROBE_OK tpu\n")
+            stderr = ("RuntimeError: Unable to initialize backend 'axon': "
+                      "Backend 'axon' is not in the list of known backends"
+                      if env.get("JAX_PLATFORMS") == "axon" else "")
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    env = dict(os.environ, JAX_PLATFORMS="axon")
+    assert bench._probe_backend(max_attempts=1, env=env) == ("tpu", "tpu")
+    assert seen_envs == ["axon", "tpu"]
+
+
+def test_probe_backend_tpu_fallback_dropped_after_wedge(monkeypatch):
+    """The tpu-fallback candidate is insurance: if it wedges once it must be
+    dropped from later attempts (each wedge costs the full probe timeout),
+    while the inherited env keeps retrying (tunnel blips recover)."""
+    import bench
+    seen = []
+
+    def fake_run(cmd, env=None, **k):
+        seen.append(env.get("JAX_PLATFORMS"))
+        raise subprocess.TimeoutExpired(cmd="python", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    env = dict(os.environ, JAX_PLATFORMS="axon")
+    assert bench._probe_backend(max_attempts=3, env=env) is None
+    assert seen == ["axon", "tpu", "axon", "axon"]
 
 
 def test_bench_wedge_watchdog_armed_and_cancelled(monkeypatch, capsys):
@@ -98,7 +150,8 @@ def test_bench_wedge_watchdog_armed_and_cancelled(monkeypatch, capsys):
 
     monkeypatch.setattr(threading, "Timer", SpyTimer)  # bench imports the
     # threading module inside main(), so patching the module attr reaches it
-    monkeypatch.setattr(bench, "_probe_backend", lambda *a, **k: "cpu")
+    monkeypatch.setattr(bench, "_probe_backend",
+                        lambda *a, **k: ("cpu", None))
     monkeypatch.setattr(bench, "bench_once", lambda *a, **k: 123.0)
     monkeypatch.setattr(sys, "argv", ["bench.py", "--fast"])
     bench.main()
@@ -118,11 +171,15 @@ def test_bench_wedge_watchdog_fires(tmp_path):
         "import bench\n"
         "bench.BUDGET_S = 0.5\n"
         "bench.WATCHDOG_GRACE_S = 1.0\n"
-        "bench._probe_backend = lambda *a, **k: 'cpu'\n"
+        "bench._probe_backend = lambda *a, **k: ('cpu', None)\n"
         "bench.bench_once = lambda *a, **k: time.sleep(600)\n"
         "sys.argv = ['bench.py', '--fast']\n"
         "bench.main()\n")
-    r = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = os.pathsep.join(  # axon-free child (import wedge)
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p) or REPO
+    r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
                        capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, (r.returncode, r.stderr[-500:])
     obj = json.loads(r.stdout.strip().splitlines()[-1])
@@ -141,5 +198,5 @@ def test_probe_backend_real_subprocess():
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in env.get("PYTHONPATH", "").split(os.pathsep)
         if p and "axon" not in p) or REPO
-    platform = bench._probe_backend(max_attempts=1, env=env)
-    assert platform == "cpu", platform
+    probe = bench._probe_backend(max_attempts=1, env=env)
+    assert probe == ("cpu", None), probe
