@@ -7,13 +7,18 @@ per-batch host<->device copies and publishes no numbers (BASELINE.md); the
 driver-set target is >= 5,000 captions/sec/chip at beam=1 on v5e (BASELINE.json
 north_star).  vs_baseline reports value / 5000.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints progressive JSON checkpoint lines — one after every completed
+sub-bench, each a superset of the previous (marked "partial": true), with the
+final complete line last — so ANY kill point (driver timeout, SIGTERM, wedge
+watchdog) leaves a parseable line carrying every number measured so far.  The
+LAST line on stdout is authoritative.
 Tunnel-proof: the axon backend is probed in a SUBPROCESS with a hard timeout
 (a dead tunnel either raises UNAVAILABLE or wedges device calls forever —
 round-3 lost its bench artifact to exactly this), retried with backoff; final
 failure emits a parseable {"error": "tpu_unavailable"} line, never a traceback.
 Each extra sub-bench is individually guarded and budget-limited so one failure
-degrades to an error field instead of killing the artifact.
+degrades to an error field instead of killing the artifact.  Per-sub-bench
+wall times ship as *_wall_s fields (what to trim if the budget ever bites).
 """
 
 from __future__ import annotations
@@ -247,6 +252,17 @@ def main():
     out = {"metric": "captions_per_sec_per_chip_beam1", "value": None,
            "unit": "captions/s", "vs_baseline": None, "platform": platform}
 
+    def _emit(partial: bool):
+        # progressive checkpoint line: every completed sub-bench is already
+        # in `out`, so whatever kills the process next, the last stdout line
+        # carries all numbers measured so far
+        out["wall_s"] = round(time.time() - t0, 1)
+        if partial:
+            out["partial"] = True
+        else:
+            out.pop("partial", None)
+        print(json.dumps(out), flush=True)
+
     # mid-run wedge watchdog: a tunnel drop AFTER the probe parks the main
     # thread inside a device call forever (CLAUDE.md wedge signature) — the
     # try/excepts and the budget check between extras can never fire there.
@@ -265,18 +281,77 @@ def main():
     watchdog = threading.Timer(budget_s + WATCHDOG_GRACE_S, _wedge_exit)
     watchdog.daemon = True
     watchdog.start()
+
+    # a driver-side `timeout` sends SIGTERM; if the main thread is in Python
+    # (between device calls) this turns the kill into a clean partial line +
+    # rc=0.  While blocked inside a C device call the handler is deferred —
+    # that case is the watchdog's job.
+    import signal
+
+    def _on_term(signum, frame):
+        out["error"] = "terminated_mid_bench"
+        _emit(partial=True)
+        import os
+        os._exit(0)
+
     try:
-        best = bench_once(batch, dtype)
-    except Exception as e:  # keep the driver run alive on any compile issue
-        print(f"bench batch={batch} failed: {e}", file=sys.stderr)
+        signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:  # non-main thread (tests import main() oddly)
+        pass
+
+    def _backend_died(exc) -> bool:
+        # tunnel death BETWEEN the probe and a device call (observed: probe
+        # OK, then beam1 compile dies with backend-init UNAVAILABLE / "No
+        # jellyfish device") — distinct from a compile/OOM failure
+        msg = str(exc)
+        return ("nable to initialize backend" in msg
+                or "UNAVAILABLE" in msg or "No jellyfish" in msg)
+
+    def _reprobe_and_adopt() -> bool:
+        """One more probe window after a mid-flight backend death; on success
+        clear the parent's cached (failed) backend so retries re-init."""
+        p = _probe_backend(max_attempts=3, backoff_s=backoff_for_reprobe)
+        if p is None:
+            return False
+        _, jp = p
+        if jp is not None:
+            jax.config.update("jax_platforms", jp)
         try:
-            best = bench_once(max(64, batch // 8), dtype)
-        except Exception as e2:
-            out["error"] = f"beam1 bench failed: {e2}"
-            print(json.dumps(out))
-            return
+            import jax.extend.backend as _eb
+            _eb.clear_backends()
+        except Exception:
+            pass
+        return True
+
+    backoff_for_reprobe = 60.0
+    best = None
+    for attempt in (0, 1):
+        try:
+            tb = time.time()
+            best = bench_once(batch, dtype)
+            out["beam1_wall_s"] = round(time.time() - tb, 1)
+            break
+        except Exception as e:  # keep the driver run alive on any failure
+            print(f"bench batch={batch} failed: {e}", file=sys.stderr)
+            if attempt == 0 and _backend_died(e):
+                if _reprobe_and_adopt():
+                    continue
+                out["error"] = "tpu_unavailable"
+                out["detail"] = ("backend died mid-bench and the re-probe "
+                                 "window failed")
+                _emit(partial=True)
+                return
+            try:
+                best = bench_once(max(64, batch // 8), dtype)
+                break
+            except Exception as e2:
+                out["error"] = f"beam1 bench failed: {e2}"
+                print(json.dumps(out))
+                return
     out["value"] = round(best, 1)
     out["vs_baseline"] = round(best / baseline, 3)
+    if not skip_extras:
+        _emit(partial=True)
 
     # the extra sub-benches named by the BASELINE metric line, each guarded:
     # a failure or a blown budget degrades to an *_error field, never rc!=0
@@ -293,19 +368,36 @@ def main():
          lambda: bench_resnet(1 if on_cpu else 16, 64 if on_cpu else 448)),
     ]
     if not skip_extras:
+        extras_reprobe_left = 1  # one more mid-extras tunnel-death recovery
         for key, fn in extras:
             elapsed = time.time() - t0
             if elapsed > budget_s:
                 out[key + "_error"] = f"skipped: over {budget_s:.0f}s budget"
                 continue
+            tb = time.time()
             try:
                 out[key] = round(fn(), 2)
             except Exception as e:
                 print(f"{key} failed: {e}", file=sys.stderr)
-                out[key + "_error"] = str(e)[:200]
+                if _backend_died(e) and extras_reprobe_left > 0:
+                    extras_reprobe_left -= 1
+                    if _reprobe_and_adopt():
+                        try:
+                            out[key] = round(fn(), 2)
+                            out.pop(key + "_error", None)
+                        except Exception as e2:
+                            out[key + "_error"] = str(e2)[:200]
+                    else:
+                        out[key + "_error"] = str(e)[:200]
+                        out["error"] = "tpu_unavailable_mid_extras"
+                        _emit(partial=True)
+                        break
+                else:
+                    out[key + "_error"] = str(e)[:200]
+            out[key + "_wall_s"] = round(time.time() - tb, 1)
+            _emit(partial=True)
     watchdog.cancel()
-    out["wall_s"] = round(time.time() - t0, 1)
-    print(json.dumps(out))
+    _emit(partial=False)
 
 
 if __name__ == "__main__":

@@ -187,6 +187,156 @@ def test_bench_wedge_watchdog_fires(tmp_path):
     assert obj["value"] is None  # beam1 never finished
 
 
+def test_bench_progressive_checkpoint_lines(monkeypatch, capsys):
+    """bench must print a parseable checkpoint line after every completed
+    sub-bench (each a superset, marked partial) with the complete line last,
+    so any kill point leaves the driver the numbers measured so far."""
+    import bench
+    monkeypatch.setattr(bench, "_probe_backend", lambda *a, **k: ("cpu", None))
+    monkeypatch.setattr(bench, "bench_once", lambda *a, **k: 111.0)
+    monkeypatch.setattr(bench, "bench_beam", lambda *a, **k: 22.0)
+    monkeypatch.setattr(bench, "bench_train", lambda *a, **k: 33.0)
+    monkeypatch.setattr(bench, "bench_train_fused", lambda *a, **k: 44.0)
+    monkeypatch.setattr(bench, "bench_resnet", lambda *a, **k: 55.0)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    lines = [json.loads(s) for s in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 6  # beam1 + 4 extras (partial) + final
+    assert all(obj.get("partial") for obj in lines[:-1])
+    final = lines[-1]
+    assert "partial" not in final
+    assert final["value"] == 111.0
+    assert final["beam5_captions_per_sec"] == 22.0
+    assert final["train_mle_it_per_s"] == 33.0
+    assert final["train_mle_fused_it_per_s"] == 44.0
+    assert final["resnet101_images_per_sec"] == 55.0
+    # monotone supersets: every key of line i appears in line i+1
+    for a, b in zip(lines, lines[1:]):
+        assert set(a) - {"partial", "wall_s"} <= set(b)
+    assert "beam1_wall_s" in final
+    assert "beam5_captions_per_sec_wall_s" in final
+
+
+def test_bench_reprobes_after_mid_flight_backend_death(monkeypatch, capsys):
+    """The tunnel can die BETWEEN a successful probe and the first device
+    call (observed: 'No jellyfish device found' at beam1 compile).  bench
+    must re-probe once and retry instead of giving up."""
+    import jax.extend.backend as eb
+    import bench
+    monkeypatch.setattr(eb, "clear_backends", lambda: None)
+    probes = []
+    monkeypatch.setattr(bench, "_probe_backend",
+                        lambda *a, **k: probes.append(1) or ("cpu", None))
+    calls = []
+
+    def flaky_bench_once(*a, **k):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError(
+                "Unable to initialize backend 'tpu': UNKNOWN: TPU "
+                "initialization failed: No jellyfish device found.")
+        return 77.0
+
+    monkeypatch.setattr(bench, "bench_once", flaky_bench_once)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--fast"])
+    bench.main()
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["value"] == 77.0 and "error" not in obj
+    assert len(probes) == 2  # initial + mid-flight re-probe
+    assert len(calls) == 2
+
+
+def test_bench_mid_flight_death_with_dead_reprobe(monkeypatch, capsys):
+    """If the re-probe window also fails, bench emits the structured
+    tpu_unavailable line (with whatever was measured) and exits cleanly."""
+    import bench
+    probes = []
+
+    def probe(*a, **k):
+        probes.append(1)
+        return ("cpu", None) if len(probes) == 1 else None
+
+    monkeypatch.setattr(bench, "_probe_backend", probe)
+
+    def dead(*a, **k):
+        raise RuntimeError("UNAVAILABLE: TPU backend setup/compile error")
+
+    monkeypatch.setattr(bench, "bench_once", dead)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--fast"])
+    bench.main()
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["error"] == "tpu_unavailable"
+    assert obj["value"] is None
+
+
+def test_bench_extras_recover_from_backend_blip(monkeypatch, capsys):
+    """A backend death inside an extra re-probes once and retries that
+    extra; later extras still run."""
+    import jax.extend.backend as eb
+    import bench
+    monkeypatch.setattr(eb, "clear_backends", lambda: None)
+    monkeypatch.setattr(bench, "_probe_backend",
+                        lambda *a, **k: ("cpu", None))
+    monkeypatch.setattr(bench, "bench_once", lambda *a, **k: 111.0)
+    beam_calls = []
+
+    def flaky_beam(*a, **k):
+        beam_calls.append(1)
+        if len(beam_calls) == 1:
+            raise RuntimeError("UNAVAILABLE: backend gone")
+        return 22.0
+
+    monkeypatch.setattr(bench, "bench_beam", flaky_beam)
+    monkeypatch.setattr(bench, "bench_train", lambda *a, **k: 33.0)
+    monkeypatch.setattr(bench, "bench_train_fused", lambda *a, **k: 44.0)
+    monkeypatch.setattr(bench, "bench_resnet", lambda *a, **k: 55.0)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["beam5_captions_per_sec"] == 22.0
+    assert "beam5_captions_per_sec_error" not in obj
+    assert obj["resnet101_images_per_sec"] == 55.0
+    assert "error" not in obj
+
+
+def test_bench_sigterm_emits_partial_line(tmp_path):
+    """A driver-side `timeout` sends SIGTERM mid-extras; bench must exit 0
+    with a parseable partial line carrying the already-measured numbers."""
+    import signal as _signal
+    code = (
+        "import sys, time\n"
+        "import bench\n"
+        "bench._probe_backend = lambda *a, **k: ('cpu', None)\n"
+        "bench.bench_once = lambda *a, **k: 111.0\n"
+        "def slow(*a, **k):\n"
+        "    print('EXTRA_STARTED', file=sys.stderr, flush=True)\n"
+        "    time.sleep(600)\n"
+        "bench.bench_beam = slow\n"
+        "sys.argv = ['bench.py']\n"
+        "bench.main()\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p) or REPO
+    p = subprocess.Popen([sys.executable, "-c", code], cwd=REPO, env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+    # wait until the slow extra is running, then deliver the driver's TERM
+    import time as _time
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        line = p.stderr.readline()
+        if "EXTRA_STARTED" in line:
+            break
+    p.send_signal(_signal.SIGTERM)
+    out, _ = p.communicate(timeout=60)
+    assert p.returncode == 0
+    obj = json.loads(out.strip().splitlines()[-1])
+    assert obj["error"] == "terminated_mid_bench"
+    assert obj["partial"] is True
+    assert obj["value"] == 111.0  # beam1 survived the kill
+
+
 def test_probe_backend_real_subprocess():
     """End-to-end probe in a real subprocess, pinned to CPU by stripping the
     axon sitecustomize from the child's PYTHONPATH: the default gate must
