@@ -221,28 +221,62 @@ BUDGET_S = 25 * 60.0       # wall budget: drop remaining extras past this
 WATCHDOG_GRACE_S = 600.0   # hard-exit margin past the budget (wedge guard)
 
 
+MAX_REEXECS = 2
+
+
+def _reexec(jax_platforms: str, out: dict, t0: float):
+    """Adopt a fallback JAX_PLATFORMS by RE-EXECUTING this process with it.
+
+    Config-update adoption is WRONG here: the axon sitecustomize serves the
+    tunneled chip under the platform name 'tpu' only when JAX_PLATFORMS=tpu
+    is set at interpreter start — a mid-process
+    jax.config.update('jax_platforms', 'tpu') instead selects the native
+    libtpu plugin, which has no local device ('No jellyfish device found',
+    observed live).  Already-measured numbers and the wall-clock origin ride
+    through env vars so the re-exec resumes instead of restarting."""
+    import os
+    n = int(os.environ.get("CIC_BENCH_REEXEC", "0"))
+    if n >= MAX_REEXECS:
+        return  # loop guard: caller falls back to in-process adoption
+    env_out = {k: v for k, v in out.items() if k != "partial"}
+    os.environ["CIC_BENCH_REEXEC"] = str(n + 1)
+    os.environ["CIC_BENCH_RESUME"] = json.dumps(env_out)
+    os.environ["CIC_BENCH_T0"] = repr(t0)
+    os.environ["JAX_PLATFORMS"] = jax_platforms
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
+    import os
     nums = [a for a in sys.argv[1:] if not a.startswith("-")]
     batch = int(nums[0]) if nums else 8192
     skip_extras = "--fast" in sys.argv  # beam1 only (old default behavior)
     budget_s = BUDGET_S
-    t0 = time.time()
+    t0 = float(os.environ.get("CIC_BENCH_T0") or time.time())
+    resume = json.loads(os.environ.pop("CIC_BENCH_RESUME", "null") or "null")
     baseline = 5000.0  # north-star target captions/sec/chip (BASELINE.json)
 
     probe = _probe_backend()
     if probe is None:
-        print(json.dumps({
-            "metric": "captions_per_sec_per_chip_beam1", "value": None,
-            "unit": "captions/s", "vs_baseline": None,
-            "error": "tpu_unavailable",
-            "detail": "backend init failed/wedged after 5 probe attempts "
-                      "with 60s backoff",
-        }))
+        err = {"metric": "captions_per_sec_per_chip_beam1", "value": None,
+               "unit": "captions/s", "vs_baseline": None,
+               "error": "tpu_unavailable",
+               "detail": "backend init failed/wedged after 5 probe attempts "
+                         "with 60s backoff"}
+        if isinstance(resume, dict):  # keep pre-re-exec numbers
+            err.update({k: v for k, v in resume.items() if v is not None})
+            err["error"] = "tpu_unavailable"
+        print(json.dumps(err))
         return
     platform, jax_platforms = probe
     if jax_platforms is not None:
         # the probe only succeeded under a different JAX_PLATFORMS than the
-        # (stale) preset — adopt it before this process touches any device
+        # (stale) preset — re-exec with it (config-update would select the
+        # wrong plugin, see _reexec); if the re-exec budget is spent, try
+        # the config route as a last resort
+        _reexec(jax_platforms, resume or {}, t0)
         jax.config.update("jax_platforms", jax_platforms)
 
     dtype = jnp.bfloat16
@@ -251,6 +285,11 @@ def main():
         batch = min(batch, 64)
     out = {"metric": "captions_per_sec_per_chip_beam1", "value": None,
            "unit": "captions/s", "vs_baseline": None, "platform": platform}
+    if isinstance(resume, dict):
+        # numbers measured before a fallback re-exec; failed entries retry
+        out.update({k: v for k, v in resume.items()
+                    if not k.endswith("_error") and v is not None})
+        out["platform"] = platform
 
     def _emit(partial: bool):
         # progressive checkpoint line: every completed sub-bench is already
@@ -309,13 +348,17 @@ def main():
 
     def _reprobe_and_adopt() -> bool:
         """One more probe window after a mid-flight backend death; on success
-        clear the parent's cached (failed) backend so retries re-init."""
+        clear the parent's cached (failed) backend so retries re-init.  When
+        the re-probe only succeeds under a DIFFERENT JAX_PLATFORMS, re-exec
+        with it (carrying the numbers measured so far) — config-update picks
+        the wrong plugin for env-registered platforms (see _reexec)."""
         p = _probe_backend(max_attempts=3, backoff_s=backoff_for_reprobe)
         if p is None:
             return False
         _, jp = p
         if jp is not None:
-            jax.config.update("jax_platforms", jp)
+            _reexec(jp, out, t0)              # no return on success
+            jax.config.update("jax_platforms", jp)  # re-exec budget spent
         try:
             import jax.extend.backend as _eb
             _eb.clear_backends()
@@ -324,8 +367,8 @@ def main():
         return True
 
     backoff_for_reprobe = 60.0
-    best = None
-    for attempt in (0, 1):
+    best = out.get("value")  # already measured before a fallback re-exec
+    for attempt in () if best is not None else (0, 1):
         try:
             tb = time.time()
             best = bench_once(batch, dtype)
@@ -370,6 +413,8 @@ def main():
     if not skip_extras:
         extras_reprobe_left = 1  # one more mid-extras tunnel-death recovery
         for key, fn in extras:
+            if out.get(key) is not None:
+                continue  # measured before a fallback re-exec
             elapsed = time.time() - t0
             if elapsed > budget_s:
                 out[key + "_error"] = f"skipped: over {budget_s:.0f}s budget"

@@ -299,6 +299,91 @@ def test_bench_extras_recover_from_backend_blip(monkeypatch, capsys):
     assert "error" not in obj
 
 
+def test_bench_fallback_platform_adopts_via_reexec(monkeypatch, capsys):
+    """When the probe only succeeds under a different JAX_PLATFORMS (the
+    axon sitecustomize serves the tunneled chip as 'tpu' only when the env
+    var is set at interpreter start), bench must RE-EXEC with that env —
+    jax.config.update('jax_platforms', 'tpu') selects the native libtpu
+    plugin instead ('No jellyfish device found', observed live)."""
+    import bench
+    reexecs = []
+    monkeypatch.setattr(bench, "_reexec",
+                        lambda jp, out, t0: reexecs.append((jp, dict(out))))
+    monkeypatch.setattr(bench, "_probe_backend",
+                        lambda *a, **k: ("tpu", "tpu"))
+    monkeypatch.setattr(bench.jax.config, "update", lambda *a: None)
+    monkeypatch.setattr(bench, "bench_once", lambda *a, **k: 99.0)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--fast"])
+    bench.main()
+    assert reexecs and reexecs[0][0] == "tpu"
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["value"] == 99.0  # loop-guard fallback path still measured
+
+
+def test_bench_reexec_sets_env_and_guards_loop(monkeypatch):
+    """_reexec must carry the measured numbers + wall origin through env and
+    refuse to loop past MAX_REEXECS."""
+    import bench
+    calls = []
+    monkeypatch.setattr(bench.sys, "argv", ["bench.py"])
+    monkeypatch.setattr(os, "execv", lambda exe, argv: calls.append(argv))
+    monkeypatch.delenv("CIC_BENCH_REEXEC", raising=False)
+    out = {"value": 123.0, "partial": True}
+    bench._reexec("tpu", out, 1000.0)
+    assert calls, "execv not invoked"
+    assert os.environ["JAX_PLATFORMS"] == "tpu"
+    assert os.environ["CIC_BENCH_REEXEC"] == "1"
+    assert json.loads(os.environ["CIC_BENCH_RESUME"]) == {"value": 123.0}
+    assert float(os.environ["CIC_BENCH_T0"]) == 1000.0
+    # loop guard
+    calls.clear()
+    os.environ["CIC_BENCH_REEXEC"] = str(bench.MAX_REEXECS)
+    bench._reexec("tpu", out, 1000.0)
+    assert not calls
+    for k in ("CIC_BENCH_REEXEC", "CIC_BENCH_RESUME", "CIC_BENCH_T0"):
+        os.environ.pop(k, None)
+
+
+def test_bench_resume_skips_measured_subbenches(monkeypatch, capsys):
+    """A re-exec'd bench must not re-measure what the first exec already
+    did: beam1 and any extra with a value are skipped; failed extras
+    (error entries) retry."""
+    import bench
+    monkeypatch.setenv("CIC_BENCH_RESUME", json.dumps({
+        "value": 111.0, "vs_baseline": 0.02, "beam1_wall_s": 5.0,
+        "beam5_captions_per_sec": 22.0,
+        "train_mle_it_per_s_error": "UNAVAILABLE: backend gone"}))
+    monkeypatch.setenv("CIC_BENCH_T0", repr(1.0))
+    monkeypatch.setattr(bench, "_probe_backend", lambda *a, **k: ("cpu", None))
+    called = {"beam1": 0, "beam5": 0, "train": 0}
+
+    def no_beam1(*a, **k):
+        called["beam1"] += 1
+        return 0.0
+
+    monkeypatch.setattr(bench, "bench_once", no_beam1)
+    monkeypatch.setattr(
+        bench, "bench_beam",
+        lambda *a, **k: called.__setitem__("beam5", called["beam5"] + 1)
+        or 999.0)
+    monkeypatch.setattr(
+        bench, "bench_train",
+        lambda *a, **k: called.__setitem__("train", called["train"] + 1)
+        or 33.0)
+    monkeypatch.setattr(bench, "bench_train_fused", lambda *a, **k: 44.0)
+    monkeypatch.setattr(bench, "bench_resnet", lambda *a, **k: 55.0)
+    # the budget check uses the env T0=1.0 (epoch start) — huge elapsed would
+    # skip every extra; neutralize by restoring a live origin
+    monkeypatch.setenv("CIC_BENCH_T0", repr(__import__("time").time()))
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert called == {"beam1": 0, "beam5": 0, "train": 1}
+    assert obj["value"] == 111.0
+    assert obj["beam5_captions_per_sec"] == 22.0
+    assert obj["train_mle_it_per_s"] == 33.0  # the failed extra retried
+
+
 def test_bench_sigterm_emits_partial_line(tmp_path):
     """A driver-side `timeout` sends SIGTERM mid-extras; bench must exit 0
     with a parseable partial line carrying the already-measured numbers."""
