@@ -99,6 +99,9 @@ _FLAGS = [
     ("vse_embed_size", int, 1024, "joint embedding dim"),
     ("vse_num_layers", int, 1, "listener rnn layers"),
     ("vse_max_violation", int, 1, "max (vs sum) in rank loss"),
+    ("vse_hinge_warmup_iters", int, 0,
+     "extension: iterations of mean-hinge warm-up before vse_max_violation "
+     "engages (VSE++ warm-start recipe; 0 = reference behavior)"),
     ("vse_measure", str, "cosine", "similarity measure"),
     ("vse_use_abs", int, 0, "abs() on embeddings"),
     ("vse_no_imgnorm", int, 0, "skip image-embedding l2norm"),

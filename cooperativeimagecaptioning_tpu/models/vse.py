@@ -149,12 +149,23 @@ def contrastive_loss(im, s, margin, max_violation, whole_batch=False,
     eye = jnp.eye(scores.shape[0], dtype=bool)
     cost_s = jnp.where(eye, 0.0, cost_s)
     cost_im = jnp.where(eye, 0.0, cost_im)
-    if max_violation:
-        cost_s = jnp.max(cost_s, axis=1)
-        cost_im = jnp.max(cost_im, axis=0)
+    if isinstance(max_violation, (bool, int, float)):
+        # static flag: single reduction, bit-identical to the reference branch
+        if max_violation:
+            cost_s = jnp.max(cost_s, axis=1)
+            cost_im = jnp.max(cost_im, axis=0)
+        else:
+            cost_s = jnp.mean(cost_s, axis=1)
+            cost_im = jnp.mean(cost_im, axis=0)
     else:
-        cost_s = jnp.mean(cost_s, axis=1)
-        cost_im = jnp.mean(cost_im, axis=0)
+        # traced weight (mean-hinge warm-up, schedules.vse_max_violation_w):
+        # blend the two O(B^2) reductions so the switch never recompiles;
+        # at w exactly 0.0/1.0 the blend is bit-identical to either branch
+        w = jnp.asarray(max_violation, cost_s.dtype)
+        cost_s = w * jnp.max(cost_s, axis=1) + \
+            (1.0 - w) * jnp.mean(cost_s, axis=1)
+        cost_im = w * jnp.max(cost_im, axis=0) + \
+            (1.0 - w) * jnp.mean(cost_im, axis=0)
     fn = (lambda x: x) if whole_batch else jnp.sum
     if only_one_retrieval == "image":
         return fn(cost_im)
@@ -164,11 +175,14 @@ def contrastive_loss(im, s, margin, max_violation, whole_batch=False,
 
 
 def forward(params, opt, fc_feats, att_feats, seqs, masks, whole_batch=False,
-            only_one_retrieval="off"):
-    """ref VSEFCModel.py:230-241 (att_feats unused, kept for signature parity)."""
+            only_one_retrieval="off", max_violation_w=None):
+    """ref VSEFCModel.py:230-241 (att_feats unused, kept for signature parity).
+
+    max_violation_w: optional traced hinge weight (mean-hinge warm-up,
+    schedules.vse_max_violation_w); None = the static opt.vse_max_violation."""
     del att_feats
     img_emb = encode_image(params, opt, fc_feats)
     cap_emb = encode_text(params, opt, seqs, masks)
+    mv = opt.vse_max_violation if max_violation_w is None else max_violation_w
     return contrastive_loss(img_emb, cap_emb, opt.vse_margin,
-                            opt.vse_max_violation, whole_batch,
-                            only_one_retrieval)
+                            mv, whole_batch, only_one_retrieval)

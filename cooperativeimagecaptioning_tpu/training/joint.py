@@ -53,6 +53,7 @@ class Hyper(NamedTuple):
     vse_loss_weight: Any
     retrieval_reward_weight: Any
     cider_weight: Any
+    vse_max_w: Any
 
     @classmethod
     def from_opt(cls, opt):
@@ -66,6 +67,7 @@ class Hyper(NamedTuple):
             vse_loss_weight=jnp.float32(opt.vse_loss_weight),
             retrieval_reward_weight=jnp.float32(opt.retrieval_reward_weight),
             cider_weight=jnp.float32(opt.cider_optimization),
+            vse_max_w=jnp.float32(opt.vse_max_violation),
         )
 
 
@@ -208,7 +210,8 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
         seqs = _prepend_bos_ids(jax.lax.stop_gradient(out.seq), V)
         smasks = losses.masks_from_seq(out.seq)
         loss_vse = vse.forward(params["listener"], opt, fc, att, seqs, smasks,
-                               only_one_retrieval=opt.only_one_retrieval)
+                               only_one_retrieval=opt.only_one_retrieval,
+            max_violation_w=hp.vse_max_w)
         loss = hp.vse_loss_weight * loss_vse
         aux["loss_vse"] = loss_vse
         aux["vse_contrastive"] = loss_vse
@@ -234,7 +237,8 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
     # ---- GT contrastive (ref :209-224); zeroed on speaker turn (ref :516-518) ----
     if opt.vse_loss_weight > 0 and has_listener(opt) and turn != "speaker":
         loss_vse = vse.forward(params["listener"], opt, fc, att, labels, masks,
-                               only_one_retrieval=opt.only_one_retrieval)
+                               only_one_retrieval=opt.only_one_retrieval,
+            max_violation_w=hp.vse_max_w)
         loss = loss + hp.vse_loss_weight * loss_vse
         aux["loss_vse"] = loss_vse
         aux["vse_contrastive"] = loss_vse
@@ -252,7 +256,8 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
             _seqs = _prepend_bos_ids(out.seq, V)
             retrieval_loss = vse.forward(
                 params["listener"], opt, fc, att, _seqs, _masks,
-                whole_batch=True, only_one_retrieval=opt.only_one_retrieval)
+                whole_batch=True, only_one_retrieval=opt.only_one_retrieval,
+            max_violation_w=hp.vse_max_w)
             if opt.reinforce_baseline_type == "greedy":
                 # volatile=True in the ref (:255-258): no grad through the
                 # baseline decode — cut it out of the backward graph entirely
@@ -265,11 +270,13 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
                 g_masks = losses.masks_from_seq(gout.seq)
                 baseline = vse.forward(
                     params["listener"], opt, fc, att, g_seqs, g_masks,
-                    whole_batch=True, only_one_retrieval=opt.only_one_retrieval)
+                    whole_batch=True, only_one_retrieval=opt.only_one_retrieval,
+            max_violation_w=hp.vse_max_w)
             elif opt.reinforce_baseline_type == "gt":
                 baseline = vse.forward(
                     params["listener"], opt, fc, att, labels, masks,
-                    whole_batch=True, only_one_retrieval=opt.only_one_retrieval)
+                    whole_batch=True, only_one_retrieval=opt.only_one_retrieval,
+            max_violation_w=hp.vse_max_w)
             else:
                 baseline = jnp.zeros_like(retrieval_loss)
             coeff = jax.lax.stop_gradient(retrieval_loss - baseline)
@@ -288,7 +295,8 @@ def loss_fn(modules, params, opt, batch, rng, hp, turn, reward, train=True):
             _seqs = _prepend_bos_one_hot(out.soft, V)
             loss_vse_disc = vse.forward(
                 params["listener"], opt, fc, att, _seqs, _masks,
-                only_one_retrieval=opt.only_one_retrieval)
+                only_one_retrieval=opt.only_one_retrieval,
+            max_violation_w=hp.vse_max_w)
             loss = loss + hp.retrieval_reward_weight * loss_vse_disc
             aux["retrieval_loss"] = loss_vse_disc
             gen_seq, gen_logprobs, gen_masks = out.seq, out.logprobs, _masks

@@ -325,7 +325,9 @@ class Trainer:
             gumbel_temp=jnp.float32(self.gumbel_temp),
             retrieval_reward_weight=jnp.float32(self._retrieval_w),
             prob_gumbel_softmax=jnp.float32(self._pg),
-            prob_multinomial_soft=jnp.float32(self._pm))
+            prob_multinomial_soft=jnp.float32(self._pm),
+            vse_max_w=jnp.float32(
+                schedules.vse_max_violation_w(self.opt, self.iteration)))
 
     def _fns(self, turn):
         if turn not in self._step_fns:
@@ -549,9 +551,9 @@ class Trainer:
             return "att features missing from the device cache"
         return None
 
-    def _hyper_row(self, epoch, g_temp):
+    def _hyper_row(self, epoch, g_temp, iteration):
         """One step's Hyper values as HOST floats (field order = joint.Hyper).
-        Pure in (epoch, g_temp) exactly like _update_schedules +
+        Pure in (epoch, g_temp, iteration) exactly like _update_schedules +
         train_iteration's per-step recomputes, so staging K steps ahead
         reproduces the per-step schedule bit-for-bit."""
         opt = self.opt
@@ -560,7 +562,8 @@ class Trainer:
                 opt.multinomial_temp, pg, pm, opt.caption_loss_weight,
                 opt.vse_loss_weight,
                 schedules.retrieval_reward_weight(opt, epoch),
-                opt.cider_optimization)
+                opt.cider_optimization,
+                schedules.vse_max_violation_w(opt, iteration))
 
     def _stage_chunk(self, max_steps):
         """Fetch up to max_steps train batches and precompute every step's
@@ -580,7 +583,7 @@ class Trainer:
             # pre-increment counter, schedules from the CURRENT epoch
             if schedules.should_anneal(opt, it_j):
                 g_temp = schedules.anneal_gumbel_temp(g_temp, opt, it_j)
-            hp_rows.append(self._hyper_row(epoch, g_temp))
+            hp_rows.append(self._hyper_row(epoch, g_temp, it_j))
             lrs.append(schedules.current_lr(opt, epoch))
             data = loader.get_batch("train")
             last_data = data

@@ -47,6 +47,19 @@ def scheduled_sampling_prob(opt, epoch):
     return 0.0
 
 
+def vse_max_violation_w(opt, iteration):
+    """Effective max-violation weight for the contrastive hinge at this
+    iteration.  Extension (not in the reference): the VSE++ hardest-negative
+    hinge can fail to escape random init (all hinge terms saturated at margin,
+    gradient from one random negative per row); the standard recipe warms up
+    with the mean hinge, then switches.  With vse_hinge_warmup_iters=0 this
+    is constantly opt.vse_max_violation — reference behavior
+    (VSEFCModel.py:149-207)."""
+    if iteration < int(getattr(opt, "vse_hinge_warmup_iters", 0) or 0):
+        return 0.0
+    return float(opt.vse_max_violation)
+
+
 def retrieval_reward_weight(opt, epoch):
     """ref: train.py:88-92."""
     if epoch > opt.retrieval_reward_weight_decay_start >= 0:
