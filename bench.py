@@ -220,11 +220,49 @@ def _probe_backend(max_attempts: int = 5, backoff_s: float = 60.0,
 BUDGET_S = 25 * 60.0       # wall budget: drop remaining extras past this
 WATCHDOG_GRACE_S = 600.0   # hard-exit margin past the budget (wedge guard)
 
+# initial-probe horizon (~2h when the tunnel wedges every probe): CLAUDE.md
+# documents multi-hour outages and two of four rounds lost their official
+# bench record to a 25-min horizon.  Overridable via env for tests/CI.
+PROBE_ATTEMPTS = 16
+PROBE_BACKOFF_S = 240.0
+
 
 MAX_REEXECS = 2
 
 
-def _reexec(jax_platforms: str, out: dict, t0: float):
+def _last_good(root=None):
+    """Newest prior in-round bench capture (artifacts/*/bench.json with a
+    non-null value): when this run cannot reach the chip, the final JSON
+    line still carries machine-readable evidence of the last real number
+    instead of a bare null."""
+    import glob
+    import os
+    root = root or os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(root, "artifacts", "*", "bench.json")):
+        try:
+            with open(path) as f:
+                obj = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(obj, dict) or obj.get("value") is None:
+            continue
+        mtime = os.path.getmtime(path)
+        if best is None or mtime > best[0]:
+            best = (mtime, path, obj)
+    if best is None:
+        return None
+    mtime, path, obj = best
+    keep = {k: v for k, v in obj.items()
+            if k in ("metric", "value", "unit", "vs_baseline", "platform",
+                     "note") or k.endswith("_per_s") or
+            k.endswith("_per_sec") or k == "train_mle_it_per_s"}
+    keep["source"] = os.path.relpath(path, root)
+    keep["captured"] = time.strftime("%Y-%m-%d", time.localtime(mtime))
+    return keep
+
+
+def _reexec(jax_platforms: str, out: dict, t0: float, b0: float = None):
     """Adopt a fallback JAX_PLATFORMS by RE-EXECUTING this process with it.
 
     Config-update adoption is WRONG here: the axon sitecustomize serves the
@@ -242,6 +280,9 @@ def _reexec(jax_platforms: str, out: dict, t0: float):
     os.environ["CIC_BENCH_REEXEC"] = str(n + 1)
     os.environ["CIC_BENCH_RESUME"] = json.dumps(env_out)
     os.environ["CIC_BENCH_T0"] = repr(t0)
+    if b0 is not None:  # measuring-budget origin rides along (the re-exec'd
+        # process must not restart the 25-min budget from scratch)
+        os.environ["CIC_BENCH_B0"] = repr(b0)
     os.environ["JAX_PLATFORMS"] = jax_platforms
     sys.stdout.flush()
     sys.stderr.flush()
@@ -250,6 +291,7 @@ def _reexec(jax_platforms: str, out: dict, t0: float):
 
 def main():
     import os
+    import signal
     nums = [a for a in sys.argv[1:] if not a.startswith("-")]
     batch = int(nums[0]) if nums else 8192
     skip_extras = "--fast" in sys.argv  # beam1 only (old default behavior)
@@ -257,18 +299,90 @@ def main():
     t0 = float(os.environ.get("CIC_BENCH_T0") or time.time())
     resume = json.loads(os.environ.pop("CIC_BENCH_RESUME", "null") or "null")
     baseline = 5000.0  # north-star target captions/sec/chip (BASELINE.json)
+    _resume_skip = ("error", "detail", "wall_s", "partial", "last_good",
+                    "probe_wall_s")  # never resurrect stale markers
 
-    probe = _probe_backend()
+    lg_cache = []
+
+    def _with_last_good(obj):
+        """Attach the newest prior in-round capture to a no-number line so a
+        null round still carries machine-readable evidence (VERDICT r4)."""
+        if obj.get("value") is None or obj.get("error"):
+            if not lg_cache:
+                try:
+                    lg_cache.append(_last_good())
+                except Exception:
+                    lg_cache.append(None)
+            if lg_cache[0]:
+                obj["last_good"] = lg_cache[0]
+        return obj
+
+    # A driver-side kill during the (possibly hours-long) probe window must
+    # still yield a parseable line.  The prior handler is restored before
+    # main() returns — in-process callers (tests) must not inherit a handler
+    # that converts a real SIGTERM into exit-0 (ADVICE r4).
+    def _term_during_probe(signum, frame):
+        err = {"metric": "captions_per_sec_per_chip_beam1", "value": None,
+               "unit": "captions/s", "vs_baseline": None,
+               "error": "terminated_during_probe"}
+        if isinstance(resume, dict):
+            err.update({k: v for k, v in resume.items()
+                        if v is not None and not k.endswith("_error")
+                        and k not in _resume_skip})
+        print(json.dumps(_with_last_good(err)), flush=True)
+        os._exit(0)
+
+    prev_term = None
+    restored = []
+
+    def _restore_term():
+        if not restored:
+            restored.append(True)
+            if prev_term is not None:
+                try:
+                    signal.signal(signal.SIGTERM, prev_term)
+                except ValueError:
+                    pass
+
+    try:
+        prev_term = signal.signal(signal.SIGTERM, _term_during_probe)
+    except ValueError:  # non-main thread (tests import main() oddly)
+        pass
+
+    try:
+        _main_after_signal(batch, skip_extras, budget_s, t0, resume,
+                           baseline, _resume_skip, _with_last_good,
+                           prev_term)
+    finally:
+        _restore_term()
+
+
+def _main_after_signal(batch, skip_extras, budget_s, t0, resume, baseline,
+                       _resume_skip, _with_last_good, prev_term):
+    import os
+    import signal
+    probe_t0 = time.time()
+    # ~2h default horizon with progress lines per attempt: the tunnel drops
+    # for HOURS (CLAUDE.md) and two of four rounds lost their official bench
+    # record to a 25-min horizon (VERDICT r4 item 1)
+    probe_attempts = int(os.environ.get("CIC_BENCH_PROBE_ATTEMPTS",
+                                        PROBE_ATTEMPTS))
+    probe_backoff = float(os.environ.get("CIC_BENCH_PROBE_BACKOFF",
+                                         PROBE_BACKOFF_S))
+    probe = _probe_backend(max_attempts=probe_attempts,
+                           backoff_s=probe_backoff)
     if probe is None:
         err = {"metric": "captions_per_sec_per_chip_beam1", "value": None,
                "unit": "captions/s", "vs_baseline": None,
                "error": "tpu_unavailable",
-               "detail": "backend init failed/wedged after 5 probe attempts "
-                         "with 60s backoff"}
+               "detail": f"backend init failed/wedged after {probe_attempts}"
+                         f" probe attempts with {probe_backoff:.0f}s backoff"}
         if isinstance(resume, dict):  # keep pre-re-exec numbers
-            err.update({k: v for k, v in resume.items() if v is not None})
+            err.update({k: v for k, v in resume.items()
+                        if v is not None and not k.endswith("_error")
+                        and k not in _resume_skip})
             err["error"] = "tpu_unavailable"
-        print(json.dumps(err))
+        print(json.dumps(_with_last_good(err)))
         return
     platform, jax_platforms = probe
     if jax_platforms is not None:
@@ -278,6 +392,9 @@ def main():
         # the config route as a last resort
         _reexec(jax_platforms, resume or {}, t0)
         jax.config.update("jax_platforms", jax_platforms)
+    # budget origin: AFTER the probe (the probe window may have been hours —
+    # it must not eat the measuring budget); carried through re-execs
+    b0 = [float(os.environ.get("CIC_BENCH_B0") or time.time())]
 
     dtype = jnp.bfloat16
     on_cpu = platform == "cpu"
@@ -286,9 +403,11 @@ def main():
     out = {"metric": "captions_per_sec_per_chip_beam1", "value": None,
            "unit": "captions/s", "vs_baseline": None, "platform": platform}
     if isinstance(resume, dict):
-        # numbers measured before a fallback re-exec; failed entries retry
+        # numbers measured before a fallback re-exec; failed entries retry,
+        # stale error/detail/wall markers never ride through (ADVICE r4)
         out.update({k: v for k, v in resume.items()
-                    if not k.endswith("_error") and v is not None})
+                    if not k.endswith("_error") and v is not None
+                    and k not in _resume_skip})
         out["platform"] = platform
 
     def _emit(partial: bool):
@@ -300,6 +419,8 @@ def main():
             out["partial"] = True
         else:
             out.pop("partial", None)
+        if out.get("value") is None:
+            _with_last_good(out)
         print(json.dumps(out), flush=True)
 
     # mid-run wedge watchdog: a tunnel drop AFTER the probe parks the main
@@ -313,24 +434,31 @@ def main():
     def _wedge_exit():
         out["error"] = "tpu_wedged_mid_bench"
         out["wall_s"] = round(time.time() - t0, 1)
+        if out.get("value") is None:
+            _with_last_good(out)
         print(json.dumps(out), flush=True)
         import os
         os._exit(0)
 
-    watchdog = threading.Timer(budget_s + WATCHDOG_GRACE_S, _wedge_exit)
-    watchdog.daemon = True
-    watchdog.start()
+    wd = {"timer": None}
+
+    def _arm_watchdog(seconds):
+        if wd["timer"] is not None:
+            wd["timer"].cancel()
+        timer = threading.Timer(seconds, _wedge_exit)
+        timer.daemon = True
+        timer.start()
+        wd["timer"] = timer
+
+    _arm_watchdog(budget_s + WATCHDOG_GRACE_S)
 
     # a driver-side `timeout` sends SIGTERM; if the main thread is in Python
     # (between device calls) this turns the kill into a clean partial line +
     # rc=0.  While blocked inside a C device call the handler is deferred —
     # that case is the watchdog's job.
-    import signal
-
     def _on_term(signum, frame):
         out["error"] = "terminated_mid_bench"
         _emit(partial=True)
-        import os
         os._exit(0)
 
     try:
@@ -339,25 +467,38 @@ def main():
         pass
 
     def _backend_died(exc) -> bool:
-        # tunnel death BETWEEN the probe and a device call (observed: probe
-        # OK, then beam1 compile dies with backend-init UNAVAILABLE / "No
-        # jellyfish device") — distinct from a compile/OOM failure
+        # tunnel death BETWEEN the probe and a device call (observed live:
+        # probe OK, then beam1/sub-bench dies with backend-init UNAVAILABLE /
+        # "No jellyfish device" / FAILED_PRECONDITION — the r4 judge's
+        # reproduction) — distinct from a compile/OOM failure
         msg = str(exc)
         return ("nable to initialize backend" in msg
-                or "UNAVAILABLE" in msg or "No jellyfish" in msg)
+                or "UNAVAILABLE" in msg or "No jellyfish" in msg
+                or "FAILED_PRECONDITION" in msg
+                or "DEADLINE_EXCEEDED" in msg)
 
     def _reprobe_and_adopt() -> bool:
-        """One more probe window after a mid-flight backend death; on success
-        clear the parent's cached (failed) backend so retries re-init.  When
-        the re-probe only succeeds under a DIFFERENT JAX_PLATFORMS, re-exec
-        with it (carrying the numbers measured so far) — config-update picks
-        the wrong plugin for env-registered platforms (see _reexec)."""
-        p = _probe_backend(max_attempts=3, backoff_s=backoff_for_reprobe)
+        """A fresh probe window after a mid-flight backend death; on success
+        clear the parent's cached (failed) backend so retries re-init, and
+        reset the measuring budget (the outage must not eat it).  The
+        watchdog is paused for the window — it would otherwise hard-exit in
+        the middle of a recoverable outage.  When the re-probe only succeeds
+        under a DIFFERENT JAX_PLATFORMS, re-exec with it (carrying the
+        numbers measured so far) — config-update picks the wrong plugin for
+        env-registered platforms (see _reexec)."""
+        if wd["timer"] is not None:
+            wd["timer"].cancel()
+        try:
+            p = _probe_backend(max_attempts=reprobe_attempts,
+                               backoff_s=backoff_for_reprobe)
+        finally:
+            _arm_watchdog(budget_s + WATCHDOG_GRACE_S)
         if p is None:
             return False
+        b0[0] = time.time()  # fresh budget for the remaining sub-benches
         _, jp = p
         if jp is not None:
-            _reexec(jp, out, t0)              # no return on success
+            _reexec(jp, out, t0, b0[0])       # no return on success
             jax.config.update("jax_platforms", jp)  # re-exec budget spent
         try:
             import jax.extend.backend as _eb
@@ -366,7 +507,9 @@ def main():
             pass
         return True
 
-    backoff_for_reprobe = 60.0
+    backoff_for_reprobe = float(os.environ.get(
+        "CIC_BENCH_REPROBE_BACKOFF", 120.0))
+    reprobe_attempts = int(os.environ.get("CIC_BENCH_REPROBE_ATTEMPTS", 6))
     best = out.get("value")  # already measured before a fallback re-exec
     for attempt in () if best is not None else (0, 1):
         try:
@@ -383,13 +526,17 @@ def main():
                 out["detail"] = ("backend died mid-bench and the re-probe "
                                  "window failed")
                 _emit(partial=True)
+                if wd["timer"] is not None:
+                    wd["timer"].cancel()
                 return
             try:
                 best = bench_once(max(64, batch // 8), dtype)
                 break
             except Exception as e2:
                 out["error"] = f"beam1 bench failed: {e2}"
-                print(json.dumps(out))
+                print(json.dumps(_with_last_good(out)))
+                if wd["timer"] is not None:
+                    wd["timer"].cancel()
                 return
     out["value"] = round(best, 1)
     out["vs_baseline"] = round(best / baseline, 3)
@@ -410,12 +557,13 @@ def main():
         ("resnet101_images_per_sec",
          lambda: bench_resnet(1 if on_cpu else 16, 64 if on_cpu else 448)),
     ]
+    broke_mid_extras = False
     if not skip_extras:
-        extras_reprobe_left = 1  # one more mid-extras tunnel-death recovery
+        extras_reprobe_left = 2  # mid-extras tunnel-death recoveries
         for key, fn in extras:
             if out.get(key) is not None:
                 continue  # measured before a fallback re-exec
-            elapsed = time.time() - t0
+            elapsed = time.time() - b0[0]
             if elapsed > budget_s:
                 out[key + "_error"] = f"skipped: over {budget_s:.0f}s budget"
                 continue
@@ -435,14 +583,17 @@ def main():
                     else:
                         out[key + "_error"] = str(e)[:200]
                         out["error"] = "tpu_unavailable_mid_extras"
-                        _emit(partial=True)
+                        broke_mid_extras = True
                         break
                 else:
                     out[key + "_error"] = str(e)[:200]
             out[key + "_wall_s"] = round(time.time() - tb, 1)
             _emit(partial=True)
-    watchdog.cancel()
-    _emit(partial=False)
+    if wd["timer"] is not None:
+        wd["timer"].cancel()
+    # a mid-extras abort means the remaining extras were never attempted:
+    # the final line must not claim completeness (ADVICE r4)
+    _emit(partial=broke_mid_extras)
 
 
 if __name__ == "__main__":

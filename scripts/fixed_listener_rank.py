@@ -46,13 +46,20 @@ from scripts.showcase_full_scale import VOCAB, SEQ_LEN, \
     build_dataset, write_df_pickle, protocol_dims, _rsum, _val_loss
 
 
-def main(argv=None):
+def main(argv=None, dataset=None):
+    """dataset: optional prebuilt SyntheticDataset (scripts/mode_grid passes
+    its own so the derived corpus isn't regenerated per mode on the
+    single-core host)."""
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", default="/tmp/cic_showcase_full")
     p.add_argument("--joint-dir", default="joint_g03")
     p.add_argument("--discriminative", type=float, default=0.3,
                    help="D weight the joint dir was trained with (flag-set "
                         "reconstruction only; no training happens here)")
+    p.add_argument("--optimization", default="gumbel",
+                   help="optimization mode the joint dir was trained with "
+                        "(gumbel|reinforce|multinomial|multinomial_soft; "
+                        "flag-set reconstruction only)")
     p.add_argument("--listener", default=None,
                    help="frozen listener artifact (default: the stage-1 "
                         "model_vse-best.pth the joint run was seeded from)")
@@ -79,7 +86,8 @@ def main(argv=None):
     from scripts.run_joint import joint_flags
 
     dims, extra = protocol_dims(args.set)
-    ds = build_dataset(args.images, args.vocab, args.seq, dims)
+    ds = dataset if dataset is not None else \
+        build_dataset(args.images, args.vocab, args.seq, dims)
     df_name = write_df_pickle(ds)
 
     jdir = os.path.join(args.workdir, args.joint_dir)
@@ -93,7 +101,8 @@ def main(argv=None):
             run_id = m.group(1)
     assert run_id, f"no infos_<id>.pkl in {jdir}"
 
-    _, jf = joint_flags(discriminative=args.discriminative, batch=args.batch,
+    _, jf = joint_flags(optimization=args.optimization,
+                        discriminative=args.discriminative, batch=args.batch,
                         max_epochs=-1)
     mine = dict(
         id=run_id, phase=3, caption_model="att2in2", vse_model="fc",

@@ -193,7 +193,7 @@ def run_stage(tag, opt, ds, iters, deviations=None):
           f"(steady {steady} it/s)", flush=True)
     out = {"iters": iters, "total_s": round(total, 1),
            "steady_it_per_s": steady, "trajectory": traj}
-    if deviations:
+    if deviations is not None:  # {} = explicit "reference flag-set, no deltas"
         out["deviations"] = deviations
     return out
 
@@ -251,6 +251,60 @@ def joint_baseline_eval(opt3, ds, workdir):
     return point
 
 
+def run_pretrain_stages(args, common, ds, results):
+    """Stages 1+2 of the reference protocol (shared with scripts/mode_grid.py:
+    every joint mode is seeded from the SAME pretrained pair).  Returns
+    (s1_model, s2_model, s2_dir).
+
+    Stage 1 runs the REFERENCE flag-set — vse_max_violation=1
+    (VSEFCModel.py:149-207 default) — with the flag-gated mean-hinge warm-up
+    extension (vse_hinge_warmup_iters): on the derived synthetic geometry the
+    hardest-negative hinge does not escape random init (measured r4: rsum at
+    chance 4.1 after 2000 iters), the known VSE++ warm-start caveat; warming
+    up with the mean hinge then switching keeps the reference flag
+    untouched.  deviations is stamped EMPTY — the warm-up is an additive
+    extension flag, recorded under `notes`."""
+    from cooperativeimagecaptioning_tpu.config import Options
+
+    # stage 1 — listener pretrain: the run_fc_con.py flag-set verbatim
+    # (FC caption model => use_att=False, so the feature cache stays fc-only;
+    # seq_per_img keeps the reference default 1 — every batch holds 128
+    # UNIQUE images; seq_per_img>1 additionally saturates the max-violation
+    # hinge, the hardest negative being a duplicate of the positive image).
+    from scripts.run_fc_con import STAGE_FLAGS as S1_FLAGS
+    warmup = min(500, max(1, args.listener_iters // 4))
+    s1 = os.path.join(args.workdir, "log_fc_con")
+    os.makedirs(s1, exist_ok=True)
+    opt1 = Options(checkpoint_path=s1,
+                   start_from=s1 if os.listdir(s1) else None,
+                   **{**S1_FLAGS, **common, "language_eval": 0,
+                      "vse_hinge_warmup_iters": warmup})
+    results["stage1_listener"] = run_stage(
+        "stage1", opt1, ds, args.listener_iters, deviations={})
+    results["stage1_listener"]["notes"] = {
+        "vse_hinge_warmup_iters": warmup,
+        "why": "mean-hinge warm-up before the reference max-violation hinge "
+               "engages (VSE++ warm-start recipe; extension flag, reference "
+               "flag-set otherwise verbatim incl. vse_max_violation=1)"}
+
+    # stage 2 — speaker MLE: the run_att.py flag-set verbatim
+    from scripts.run_att import STAGE_FLAGS as S2_FLAGS
+    s2 = os.path.join(args.workdir, "log_att")
+    os.makedirs(s2, exist_ok=True)
+    opt2 = Options(checkpoint_path=s2,
+                   start_from=s2 if os.listdir(s2) else None,
+                   **{**S2_FLAGS, **common})
+    results["stage2_mle"] = run_stage("stage2", opt2, ds, args.mle_iters)
+
+    s2_model = os.path.join(s2, "model-best.pth")
+    # the reference's drivers hand the joint run the RETRIEVAL-best stage-1
+    # artifact (run_joint.sh:310-311)
+    s1_model = os.path.join(s1, "model_vse-best.pth")
+    if not os.path.isfile(s1_model):
+        s1_model = os.path.join(s1, "model-best.pth")
+    return s1_model, s2_model, s2
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--images", type=int, default=20000)
@@ -294,51 +348,13 @@ def main(argv=None):
     results = {"dims": dict(vocab=args.vocab, seq=args.seq, batch=args.batch,
                             images=args.images, **dims)}
 
-    # stage 1 — listener pretrain: the run_fc_con.py flag-set verbatim
-    # (FC caption model => use_att=False, so the feature cache stays fc-only;
-    # seq_per_img keeps the reference default 1 — every batch holds 128
-    # UNIQUE images; seq_per_img>1 additionally saturates the max-violation
-    # hinge, the hardest negative being a duplicate of the positive image).
-    # ONE deviation: vse_max_violation=0 (mean violation; reference flag
-    # opts.py:202) — on the derived synthetic geometry the hardest-negative
-    # hinge does not escape random init (measured: rsum at chance 4.1 after
-    # 2000 iters / 21 epochs, vs 120+ by iter 500 with mean violation), the
-    # known VSE++ warm-up caveat; on real COCO the reference default stands.
-    from scripts.run_fc_con import STAGE_FLAGS as S1_FLAGS
-    s1 = os.path.join(args.workdir, "log_fc_con")
-    os.makedirs(s1, exist_ok=True)
-    opt1 = Options(checkpoint_path=s1,
-                   start_from=s1 if os.listdir(s1) else None,
-                   **{**S1_FLAGS, **common, "language_eval": 0,
-                      "vse_max_violation": 0})
-    results["stage1_listener"] = run_stage(
-        "stage1", opt1, ds, args.listener_iters,
-        deviations={"vse_max_violation": {
-            "used": 0, "reference": 1,
-            "why": "hardest-negative hinge does not escape random init on "
-                   "the derived synthetic geometry (VSE++ warm-up caveat); "
-                   "reference default stands on real COCO"}})
-
-    # stage 2 — speaker MLE: the run_att.py flag-set verbatim
-    from scripts.run_att import STAGE_FLAGS as S2_FLAGS
-    s2 = os.path.join(args.workdir, "log_att")
-    os.makedirs(s2, exist_ok=True)
-    opt2 = Options(checkpoint_path=s2,
-                   start_from=s2 if os.listdir(s2) else None,
-                   **{**S2_FLAGS, **common})
-    results["stage2_mle"] = run_stage("stage2", opt2, ds, args.mle_iters)
+    s1_model, s2_model, s2 = run_pretrain_stages(args, common, ds, results)
 
     # stage 3 — joint cooperative: the run_joint.py gumbel flag-set
     # (discriminative 0.01 / cider 0.99 via joint_flags), seeded from stages
     # 1+2 with both Adam states (ref run_joint.sh + copy_model.sh)
     s3 = os.path.join(args.workdir, "joint_g")
     os.makedirs(s3, exist_ok=True)
-    s2_model = os.path.join(s2, "model-best.pth")
-    # the reference's drivers hand the joint run the RETRIEVAL-best stage-1
-    # artifact (run_joint.sh:310-311)
-    s1_model = os.path.join(s1, "model_vse-best.pth")
-    if not os.path.isfile(s1_model):
-        s1_model = os.path.join(s1, "model-best.pth")
     # copy_model.sh seeding: stage-2 params + infos + Adam carried in; the
     # fresh run then bootstraps speaker=stage-2, listener=initialize_retrieval
     from scripts.run_joint import joint_flags, seed_checkpoint_dir

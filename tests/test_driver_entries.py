@@ -328,19 +328,24 @@ def test_bench_reexec_sets_env_and_guards_loop(monkeypatch):
     monkeypatch.setattr(bench.sys, "argv", ["bench.py"])
     monkeypatch.setattr(os, "execv", lambda exe, argv: calls.append(argv))
     monkeypatch.delenv("CIC_BENCH_REEXEC", raising=False)
+    # _reexec mutates JAX_PLATFORMS in-place: pre-seed it via monkeypatch so
+    # teardown restores the pytest process env (order-dependence otherwise)
+    monkeypatch.setenv("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
     out = {"value": 123.0, "partial": True}
-    bench._reexec("tpu", out, 1000.0)
+    bench._reexec("tpu", out, 1000.0, 2000.0)
     assert calls, "execv not invoked"
     assert os.environ["JAX_PLATFORMS"] == "tpu"
     assert os.environ["CIC_BENCH_REEXEC"] == "1"
     assert json.loads(os.environ["CIC_BENCH_RESUME"]) == {"value": 123.0}
     assert float(os.environ["CIC_BENCH_T0"]) == 1000.0
+    assert float(os.environ["CIC_BENCH_B0"]) == 2000.0
     # loop guard
     calls.clear()
     os.environ["CIC_BENCH_REEXEC"] = str(bench.MAX_REEXECS)
     bench._reexec("tpu", out, 1000.0)
     assert not calls
-    for k in ("CIC_BENCH_REEXEC", "CIC_BENCH_RESUME", "CIC_BENCH_T0"):
+    for k in ("CIC_BENCH_REEXEC", "CIC_BENCH_RESUME", "CIC_BENCH_T0",
+              "CIC_BENCH_B0"):
         os.environ.pop(k, None)
 
 
@@ -435,3 +440,193 @@ def test_probe_backend_real_subprocess():
         if p and "axon" not in p) or REPO
     probe = bench._probe_backend(max_attempts=1, env=env)
     assert probe == ("cpu", None), probe
+
+
+def test_bench_error_paths_cancel_watchdog(monkeypatch, capsys):
+    """ADVICE r4 (medium): the mid-flight-death-with-dead-reprobe and
+    beam1-failed return paths must disarm the wedge watchdog — a leaked
+    daemon timer os._exit(0)s the HOST process (pytest!) ~35 min later,
+    silently truncating a long test sweep with rc=0."""
+    import threading
+    import bench
+    timers = []
+
+    class SpyTimer(threading.Timer):
+        def __init__(self, interval, fn):
+            super().__init__(interval, fn)
+            self.cancelled = False
+            timers.append(self)
+
+        def cancel(self):
+            self.cancelled = True
+            super().cancel()
+
+    monkeypatch.setattr(threading, "Timer", SpyTimer)
+    probes = []
+
+    def probe(*a, **k):
+        probes.append(1)
+        return ("cpu", None) if len(probes) == 1 else None
+
+    monkeypatch.setattr(bench, "_probe_backend", probe)
+
+    def dead(*a, **k):
+        raise RuntimeError("UNAVAILABLE: backend gone")
+
+    monkeypatch.setattr(bench, "bench_once", dead)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--fast"])
+    bench.main()
+    assert timers and all(t.cancelled for t in timers), timers
+
+    # beam1-failed (non-backend) path too
+    timers.clear()
+    probes.clear()
+    monkeypatch.setattr(bench, "_probe_backend",
+                        lambda *a, **k: ("cpu", None))
+
+    def oom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    monkeypatch.setattr(bench, "bench_once", oom)
+    bench.main()
+    assert timers and all(t.cancelled for t in timers), timers
+    capsys.readouterr()
+
+
+def test_bench_sigterm_handler_restored(monkeypatch, capsys):
+    """ADVICE r4: main() must restore the pre-existing SIGTERM disposition —
+    an in-process caller (pytest) must not permanently inherit a handler
+    that converts a real SIGTERM into a clean exit-0."""
+    import signal as sig
+    import threading
+    import bench
+    import pytest as _pytest
+    if threading.current_thread() is not threading.main_thread():
+        _pytest.skip("signal handling requires the main thread")
+
+    def sentinel(signum, frame):
+        pass
+
+    prev = sig.signal(sig.SIGTERM, sentinel)
+    try:
+        monkeypatch.setattr(bench, "_probe_backend",
+                            lambda *a, **k: ("cpu", None))
+        monkeypatch.setattr(bench, "bench_once", lambda *a, **k: 1.0)
+        monkeypatch.setattr(sys, "argv", ["bench.py", "--fast"])
+        bench.main()
+        assert sig.getsignal(sig.SIGTERM) is sentinel
+    finally:
+        sig.signal(sig.SIGTERM, prev)
+    capsys.readouterr()
+
+
+def test_bench_last_good_attached_when_unavailable(
+        monkeypatch, capsys, tmp_path):
+    """VERDICT r4 item 1c: a null round must still carry machine-readable
+    evidence — the newest artifacts/*/bench.json with a real value rides in
+    the final line as last_good, with its capture date."""
+    import bench
+    art = tmp_path / "artifacts" / "roundX"
+    art.mkdir(parents=True)
+    (art / "bench.json").write_text(json.dumps(
+        {"metric": "captions_per_sec_per_chip_beam1", "value": 123456.0,
+         "unit": "captions/s", "beam5_captions_per_sec": 22000.0,
+         "note": "fixture"}))
+    assert bench._last_good(str(tmp_path))["value"] == 123456.0
+    orig = bench._last_good
+    monkeypatch.setattr(bench, "_last_good",
+                        lambda root=None: orig(str(tmp_path)))
+    monkeypatch.setattr(bench, "_probe_backend", lambda *a, **k: None)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["error"] == "tpu_unavailable"
+    assert obj["value"] is None
+    assert obj["last_good"]["value"] == 123456.0
+    assert obj["last_good"]["beam5_captions_per_sec"] == 22000.0
+    assert obj["last_good"]["captured"]
+    assert obj["last_good"]["source"].endswith("bench.json")
+
+
+def test_bench_dead_then_alive_initial_probe(monkeypatch, capsys):
+    """VERDICT r4 item 1 done-criterion: a backend that is dead for the
+    first probe attempts and comes back alive inside the (now ~2h) horizon
+    must yield a real number in ONE driver run — no null record."""
+    import bench
+    calls = {"n": 0}
+
+    def fake_run(cmd, env=None, timeout=None, **k):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise subprocess.TimeoutExpired(cmd="python", timeout=1)
+
+        class R:
+            returncode = 0
+            stdout = "PROBE_OK cpu\n"
+            stderr = ""
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("CIC_BENCH_PROBE_ATTEMPTS", "5")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")  # single probe candidate
+    monkeypatch.setattr(bench, "bench_once", lambda *a, **k: 777.0)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--fast"])
+    bench.main()
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["value"] == 777.0 and "error" not in obj
+    assert calls["n"] == 3  # dead, dead, alive
+
+
+def test_bench_mid_extras_abort_marks_final_partial(monkeypatch, capsys):
+    """ADVICE r4: when the extras loop aborts on a dead re-probe, the FINAL
+    line must carry partial=True — a consumer keying on 'partial absent =
+    complete run' must not misread an aborted sweep as complete."""
+    import bench
+    probes = []
+
+    def probe(*a, **k):
+        probes.append(1)
+        return ("cpu", None) if len(probes) == 1 else None
+
+    monkeypatch.setattr(bench, "_probe_backend", probe)
+    monkeypatch.setattr(bench, "bench_once", lambda *a, **k: 111.0)
+
+    def dead(*a, **k):
+        raise RuntimeError("UNAVAILABLE: backend gone")
+
+    monkeypatch.setattr(bench, "bench_beam", dead)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["value"] == 111.0
+    assert obj["error"] == "tpu_unavailable_mid_extras"
+    assert obj["partial"] is True  # final line must NOT claim completeness
+
+
+def test_bench_failed_precondition_counts_as_backend_death(monkeypatch,
+                                                           capsys):
+    """The r4 judge's live failure mode: probe OK, then the first sub-bench
+    dies with FAILED_PRECONDITION — bench must re-probe and retry instead of
+    emitting the error line."""
+    import jax.extend.backend as eb
+    import bench
+    monkeypatch.setattr(eb, "clear_backends", lambda: None)
+    probes = []
+    monkeypatch.setattr(bench, "_probe_backend",
+                        lambda *a, **k: probes.append(1) or ("cpu", None))
+    calls = []
+
+    def flaky(*a, **k):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError(
+                "FAILED_PRECONDITION: backend deinitialized")
+        return 88.0
+
+    monkeypatch.setattr(bench, "bench_once", flaky)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--fast"])
+    bench.main()
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["value"] == 88.0 and "error" not in obj
+    assert len(probes) == 2 and len(calls) == 2
