@@ -39,6 +39,15 @@ def main(argv=None):
     p.add_argument("--workdir", default="/tmp/cic_eval_protocol")
     p.add_argument("--vocab", type=int, default=VOCAB)
     p.add_argument("--seq", type=int, default=SEQ_LEN)
+    p.add_argument("--load-checkpoint", default="",
+                   help="model/alternatingModel .pth to evaluate (quality-"
+                        "canary mode: the artifact then reports a REAL "
+                        "CIDEr/rsum alongside the timing).  Pass the SAME "
+                        "--images as the training run — the derived teacher "
+                        "function depends on the dataset size/seed, so a "
+                        "checkpoint evaluated against a different corpus "
+                        "reads degenerate.  Default: random init, and the "
+                        "artifact says so (weights label)")
     p.add_argument("--set", action="append", default=[], metavar="K=V")
     args = p.parse_args(argv)
 
@@ -90,6 +99,18 @@ def main(argv=None):
     print(f"[evalproto] Trainer + HBM feature cache ready ({t_setup:.0f}s)",
           flush=True)
 
+    # weights label (VERDICT r4 item 5): a timing artifact whose metrics come
+    # from random init must SAY so machine-readably; checkpoint mode makes
+    # the protocol eval double as an end-to-end quality canary
+    if args.load_checkpoint:
+        from cooperativeimagecaptioning_tpu.training import checkpoint as ck
+        params = ck.load_params_into(tr._eval_params(), args.load_checkpoint)
+        weights = os.path.abspath(args.load_checkpoint)
+        print(f"[evalproto] loaded checkpoint {weights}", flush=True)
+    else:
+        params = tr._eval_params()
+        weights = "random/untrained (timing-only run; metrics are floor noise)"
+
     ev = tr.evaluator()
     eval_kwargs = {"split": "val", "dataset": opt.input_json}
     eval_kwargs.update(vars(opt))
@@ -101,7 +122,7 @@ def main(argv=None):
     for label in ("compile", "steady"):
         t1 = time.time()
         val_loss, predictions, lang_stats = ev.eval_split(
-            tr._eval_params(), tr.loader, eval_kwargs,
+            params, tr.loader, eval_kwargs,
             use_gen_sent=opt.rank_on_gen_captions)
         # ms precision: tiny-dim runs finish in <50ms and must not round
         # to a 0.0 that reads as "didn't run"
@@ -119,6 +140,7 @@ def main(argv=None):
     out = {"protocol": {"val_images": n_val, "beam": args.beam,
                         "batch": args.batch, "vocab": args.vocab,
                         "language_eval": 1, "rank_on_gen_captions": True},
+           "weights": weights,
            "platform": jax.devices()[0].platform,
            "setup_s": round(t_setup, 1),
            "eval_first_pass_s": timings["compile"],
