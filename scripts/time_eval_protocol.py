@@ -131,6 +131,7 @@ def main(argv=None):
                  "CIDEr": (lang_stats or {}).get("CIDEr"),
                  "rsum": (val_loss.get("rsum")
                           if isinstance(val_loss, dict) else None)}
+        timings["phases_" + label] = getattr(ev, "last_timings", None)
         print(f"[evalproto] {label} pass: {timings[label]}s "
               f"({len(predictions)} captions)", flush=True)
     faulthandler.cancel_dump_traceback_later()
@@ -144,7 +145,8 @@ def main(argv=None):
            "platform": jax.devices()[0].platform,
            "setup_s": round(t_setup, 1),
            "eval_first_pass_s": timings["compile"],
-           "eval_steady_s": timings["steady"], **stats}
+           "eval_steady_s": timings["steady"],
+           "phases_steady": timings.get("phases_steady"), **stats}
     path = os.path.join(args.workdir, "eval_protocol_timing.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
