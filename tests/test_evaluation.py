@@ -140,3 +140,35 @@ def test_eval_split_sampling_modes(tmp_path, monkeypatch):
             params, loader, {"split": "val", "sample_max": sm,
                              "temperature": 0.8})
         assert len(preds) == len(loader.split_ix["val"])
+
+
+def test_eval_split_trim_semantics(tmp_path, monkeypatch):
+    """The deferred-transfer eval loop (r5: per-batch np.asarray syncs
+    removed) must keep the reference trimming exactly (eval_utils.py:211-225):
+    a num_images cap mid-batch and a wrap overshoot both drop only the tail
+    predictions of the offending batch."""
+    monkeypatch.chdir(tmp_path)
+    opt = eval_opt(tmp_path, language_eval=0, rank_eval=0)
+    ds = SyntheticDataset(num_images=30, vocab_size=25, seq_length=8,
+                          fc_feat_size=20, att_feat_size=20, max_K=6)
+    loader = DataLoader(opt, dataset=ds)
+    opt.vocab_size = loader.vocab_size
+    opt.seq_length = loader.seq_length
+    params = joint.init_params(jax.random.PRNGKey(0), opt)
+    ev = Evaluator(opt)
+    n_val = len(loader.split_ix["val"])
+    assert n_val % opt.batch_size != 0  # the wrap overshoot case is real
+
+    # full split: wrap overshoot trimmed to the split size, ids unique
+    _, preds, _ = ev.eval_split(params, loader,
+                                {"split": "val", "num_images": -1})
+    assert len(preds) == n_val
+    assert len({p["image_id"] for p in preds}) == n_val
+
+    # mid-batch cap: exactly num_images survive, and they are the FIRST ones
+    cap = opt.batch_size + 1
+    _, preds_cap, _ = ev.eval_split(params, loader,
+                                    {"split": "val", "num_images": cap})
+    assert len(preds_cap) == cap
+    assert [p["image_id"] for p in preds_cap] == \
+        [p["image_id"] for p in preds[:cap]]
