@@ -346,3 +346,32 @@ def test_att_block_picker_scales_with_dtype_width():
     assert att_step._pick_block_b(8192, 36, 512, 512, 64, itemsize=1) == 64
     # K scaling unchanged (the K=100 lesson)
     assert att_step._pick_block_b(8192, 100, 512, 512, 64, itemsize=2) <= 32
+
+
+def test_att_kmajor_layout_parity():
+    """K-major attention layout experiment (scripts/bench_att_layout): the
+    [K, B, *] streaming variant must match attention_reference exactly
+    (masked + unmasked) — it is a layout change, not a math change."""
+    import numpy as np
+    import jax.numpy as jnp
+    from scripts.bench_att_layout import attention_kmajor, build
+    from cooperativeimagecaptioning_tpu.ops.pallas.att_step import \
+        attention_reference
+    h, emb, p_att, wh, bh, wa, ba = build(32, K=6, H=128, A=128,
+                                          dtype=jnp.float32)
+    ref = attention_reference(h, emb, p_att, wh, bh, wa, ba, None)
+    got = attention_kmajor(h, jnp.moveaxis(emb, 1, 0),
+                           jnp.moveaxis(p_att, 1, 0), wh, bh, wa, ba, None,
+                           use_mask=False, block_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=2e-5, atol=2e-5)
+    m = (np.random.RandomState(3).rand(32, 6) > 0.3).astype(np.float32)
+    m[:, 0] = 1
+    ref_m = attention_reference(h, emb, p_att, wh, bh, wa, ba,
+                                jnp.asarray(m))
+    got_m = attention_kmajor(
+        h, jnp.moveaxis(emb, 1, 0), jnp.moveaxis(p_att, 1, 0), wh, bh, wa,
+        ba, jnp.asarray(np.ascontiguousarray(m.T)), use_mask=True,
+        block_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref_m), np.asarray(got_m),
+                               rtol=2e-5, atol=2e-5)
