@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from cooperativeimagecaptioning_tpu.ops import losses
 from cooperativeimagecaptioning_tpu.evaluation.retrieval import (
-    recall_stats, target_ranks, top_retrieved)
+    recall_stats, scores_ranks_hits, target_ranks, top_retrieved)
 
 
 def gen2gt(cap_embs_generated, cap_embs_gt, caps_per_image=5,
@@ -27,13 +27,12 @@ def gen2gt(cap_embs_generated, cap_embs_gt, caps_per_image=5,
     image's cpi GT captions (ref: eval_utils.py:953-998).  Ranks come from the
     vectorized counting core in `retrieval` — no per-query loops."""
     cpi = caps_per_image
-    gen = np.asarray(cap_embs_generated)
-    gt = np.asarray(cap_embs_gt)
+    gen, gt = cap_embs_generated, cap_embs_gt
     n_img = gen.shape[0]
-    scores = gen @ gt.T                                  # [N, cpi*N]
     own = np.arange(n_img)[:, None] * cpi + np.arange(cpi)[None, :]
-    ranks = target_ranks(scores, own).min(axis=1).astype(np.float64)
-    top1 = top_retrieved(scores, 1)[:, 0].astype(np.float64)
+    rt, hits = scores_ranks_hits(gen, gt, own, 1)        # device rank core
+    ranks = rt.min(axis=1).astype(np.float64)
+    top1 = hits[:, 0].astype(np.float64)
     stats = recall_stats(ranks)
     if return_ranks:
         return stats, (ranks, top1)
@@ -46,14 +45,13 @@ def gt2gen(cap_embs_generated, cap_embs_gt, caps_per_image=5,
     queries the N generated captions; its rank is that of its own image's
     generated caption (ref: eval_utils.py:1001-1041)."""
     cpi = caps_per_image
-    gen = np.asarray(cap_embs_generated)
-    gt = np.asarray(cap_embs_gt)
+    gen, gt = cap_embs_generated, cap_embs_gt
     n_img = gen.shape[0]
     queries = gt[: cpi * n_img]
-    scores = queries @ gen.T                             # [cpi*N, N]
     correct = np.repeat(np.arange(n_img), cpi)[:, None]
-    ranks = target_ranks(scores, correct)[:, 0].astype(np.float64)
-    top1 = top_retrieved(scores, 1)[:, 0].astype(np.float64)
+    rt, hits = scores_ranks_hits(queries, gen, correct, 1)
+    ranks = rt[:, 0].astype(np.float64)
+    top1 = hits[:, 0].astype(np.float64)
     stats = recall_stats(ranks)
     if return_ranks:
         return stats, (ranks, top1)

@@ -368,10 +368,11 @@ class Evaluator:
             if 0 <= num_images <= n:
                 break
         loader.seq_per_img = saved_spi
-        # single host transfer per array at the end (device arrays were
-        # appended un-synced; slicing above stayed on device)
-        return (np.vstack([np.asarray(x) for x in img_embs]),
-                np.vstack([np.asarray(x) for x in cap_embs]), images_data)
+        # DEVICE-resident return: the rank math (retrieval.scores_ranks_hits)
+        # now runs on device, so the ~100 MB of protocol-scale embeddings
+        # never cross the host link — only the small rank arrays do
+        return (jnp.concatenate(img_embs, axis=0),
+                jnp.concatenate(cap_embs, axis=0), images_data)
 
     def evalrank(self, params, loader, eval_kwargs=None, use_gen_sent=False):
         if "listener" not in params:

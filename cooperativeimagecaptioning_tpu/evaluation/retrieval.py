@@ -84,6 +84,83 @@ def top_retrieved(scores, k):
     return out
 
 
+def _rank_chunks_jit():
+    """Build (once) the jitted chunked rank kernel; separated so import of
+    this module stays jax-free for host-only callers."""
+    global _RANK_CHUNKS
+    if _RANK_CHUNKS is None:
+        import functools
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("topk",))
+        def _rank_chunks(qs, ts, pool, topk):
+            # qs [nc, CB, E], ts [nc, CB, T], pool [M, E]
+            M = pool.shape[0]
+            cols = jnp.arange(M)
+            low = jnp.finfo(jnp.float32).min
+            poolT = pool.T
+
+            def one(args):
+                qc, tc = args
+                # HIGHEST keeps the f32 scores exact (default TPU f32 matmul
+                # runs reduced-precision passes — rank ties must not move)
+                s = jnp.matmul(qc, poolT,
+                               precision=jax.lax.Precision.HIGHEST)
+                tval = jnp.take_along_axis(s, tc, axis=1)[:, :, None]
+                above = jnp.sum(s[:, None, :] > tval, axis=-1)
+                tied = jnp.sum((s[:, None, :] == tval) &
+                               (cols[None, None, :] > tc[:, :, None]),
+                               axis=-1)
+                sc = s
+                hits = []
+                for _ in range(topk):
+                    mx = jnp.max(sc, axis=1)
+                    eq = sc == mx[:, None]
+                    pick = (M - 1) - jnp.argmax(eq[:, ::-1], axis=1)
+                    hits.append(pick)
+                    sc = jnp.where(cols[None, :] == pick[:, None], low, sc)
+                return ((above + tied).astype(jnp.int32),
+                        jnp.stack(hits, axis=1).astype(jnp.int32))
+            return jax.lax.map(one, (qs, ts))
+        _RANK_CHUNKS = _rank_chunks
+    return _RANK_CHUNKS
+
+
+_RANK_CHUNKS = None
+
+
+def scores_ranks_hits(queries, pool, targets, topk, chunk=512):
+    """Fused device-side (scores = queries @ pool.T, target ranks, top-k
+    hits): the matmul and both rank primitives run on the JAX default
+    backend, chunked over queries (compiled once per shape family), and only
+    the [Q, T] ranks + [Q, topk] hits come back to host.
+
+    At the 5000-image protocol this replaces ~500 GFLOP of single-core host
+    BLAS plus the full [Q, M] score materialization (and, with the device-
+    resident embeddings encode_data now returns, the ~100 MB embedding
+    device->host transfer).  Semantics are identical to running
+    target_ranks/top_retrieved on the f32 score matrix — HIGHEST-precision
+    matmul, same tie rules (measured on-chip: rank_eval 29.2s -> see
+    docs/PERFORMANCE.md)."""
+    import jax.numpy as jnp
+    queries = jnp.asarray(queries, jnp.float32)
+    pool = jnp.asarray(pool, jnp.float32)
+    Q, E = queries.shape
+    M = pool.shape[0]
+    topk = int(min(topk, M))
+    targets_j = jnp.asarray(np.asarray(targets, np.int32))
+    T = targets_j.shape[1]
+    cb = int(min(chunk, Q))
+    pad = (-Q) % cb
+    qs = jnp.pad(queries, ((0, pad), (0, 0))).reshape(-1, cb, E)
+    ts = jnp.pad(targets_j, ((0, pad), (0, 0))).reshape(-1, cb, T)
+    ranks, hits = _rank_chunks_jit()(qs, ts, pool, topk)
+    ranks = np.asarray(ranks).reshape(-1, T)[:Q].astype(np.int64)
+    hits = np.asarray(hits).reshape(-1, topk)[:Q].astype(np.int64)
+    return ranks, hits
+
+
 def recall_stats(ranks):
     """(R@1, R@5, R@10, median-rank, mean-rank) — ranks are 0-based, the
     reported median/mean are 1-based like the reference's."""
@@ -108,14 +185,12 @@ def i2t(images, captions, npts=None, return_ranks=False, caps_per_image=5):
     full caption pool.  The reference hardcodes 5 captions/image;
     caps_per_image generalizes."""
     cpi = caps_per_image
-    images = np.asarray(images)
-    captions = np.asarray(captions)
     n_img = npts if npts is not None else images.shape[0] // cpi
     queries = images[::cpi][:n_img]
-    scores = queries @ captions.T                       # [N, cpi*N]
     own = np.arange(n_img)[:, None] * cpi + np.arange(cpi)[None, :]
-    ranks = target_ranks(scores, own).min(axis=1).astype(np.float64)
-    top1 = top_retrieved(scores, 1)[:, 0].astype(np.float64)
+    rt, hits = scores_ranks_hits(queries, captions, own, 1)
+    ranks = rt.min(axis=1).astype(np.float64)
+    top1 = hits[:, 0].astype(np.float64)
     stats = recall_stats(ranks)
     if return_ranks:
         return stats, (ranks, top1)
@@ -130,15 +205,12 @@ def t2i(images, captions, images_data=None, npts=None, return_ranks=False,
     rank stats, builds the per-query distractor records (correct image + the
     top-4 retrieved images' metadata) the reference keeps for visualization."""
     cpi = caps_per_image or (1 if use_gen_sent else 5)
-    images = np.asarray(images)
-    captions = np.asarray(captions)
     n_img = npts if npts is not None else images.shape[0] // cpi
     gallery = images[::cpi]                             # full image pool
     queries = captions[: cpi * n_img]
-    scores = queries @ gallery.T                        # [cpi*N, n_pool]
     correct = np.repeat(np.arange(n_img), cpi)[:, None]
-    ranks = target_ranks(scores, correct)[:, 0]
-    hits = top_retrieved(scores, 4)
+    rt, hits = scores_ranks_hits(queries, gallery, correct, 4)
+    ranks = rt[:, 0]
     top1 = hits[:, 0].astype(np.float64)
 
     meta = images_data or [{} for _ in range(n_img)]

@@ -172,3 +172,24 @@ def test_eval_split_trim_semantics(tmp_path, monkeypatch):
     assert len(preds_cap) == cap
     assert [p["image_id"] for p in preds_cap] == \
         [p["image_id"] for p in preds[:cap]]
+
+
+def test_scores_ranks_hits_matches_numpy_spec():
+    """The device rank core (scores_ranks_hits) must reproduce
+    target_ranks/top_retrieved on the f32 score matrix EXACTLY — including
+    tie behavior (ties toward the larger column index).  Identity pool makes
+    the device matmul reproduce an arbitrary score matrix bit-exactly."""
+    rng = np.random.RandomState(7)
+    Q, M, T = 37, 23, 3
+    scores = rng.randn(Q, M).astype(np.float32)
+    # engineered exact ties, incl. tied targets
+    scores[5, 3] = scores[5, 17] = scores[5, 9]
+    scores[12, :] = 0.25
+    scores[20, 1] = scores[20, 2]
+    targets = rng.randint(0, M, size=(Q, T))
+    ref_ranks = retrieval.target_ranks(scores, targets)
+    ref_hits = retrieval.top_retrieved(scores, 4)
+    ranks, hits = retrieval.scores_ranks_hits(
+        scores, np.eye(M, dtype=np.float32), targets, 4, chunk=8)
+    np.testing.assert_array_equal(ranks, ref_ranks)
+    np.testing.assert_array_equal(hits, ref_hits)
