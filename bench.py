@@ -54,9 +54,19 @@ def build(batch_size: int, dtype, vocab_size=9487, seq_length=16, K=36):
     att = jnp.asarray(rng.randn(batch_size, K, opt.att_feat_size), dtype)
     fc = jnp.asarray(rng.randn(batch_size, opt.fc_feat_size), dtype)
 
+    import os
+    # K-major context layout (--att_kmajor): default ON for the bf16 serving
+    # bench (+14.5% end-to-end greedy, reproducible interleaved A/B; ids
+    # differ from b-major only by 1-ulp bf16 rounding amplification —
+    # docs/PERFORMANCE.md).  CIC_ATT_KMAJOR=0 reverts.
+    kmajor = os.environ.get("CIC_ATT_KMAJOR", "1") == "1" and \
+        dtype == jnp.bfloat16
+
     def decode(params, fc, att):
         sp = joint.speaker_view(params, opt)
         ctx = att_model.encode_features(sp, fc, att, None)
+        if kmajor:
+            ctx = att_model.kmajor_ctx(ctx)
         return decoding.sample(att_model, sp, ctx, opt.seq_length,
                                jax.random.PRNGKey(0), mode="greedy").seq
 

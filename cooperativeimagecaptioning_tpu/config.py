@@ -136,6 +136,8 @@ _FLAGS = [
                            "'' (off) | int8 (per-row scales; halves the "
                            "context's HBM footprint for larger serving "
                            "batches; throughput-neutral at B<=8192)"),
+    ("att_kmajor", int, 0, "decode-time K-major attention-context layout: "
+                           "tile-aligned streaming (extension; 0 = b-major)"),
     ("mesh_data_axis", int, 0, "data-parallel mesh size: 0/1 = single-device, "
                                ">1 = shard batches over a (data, model) mesh"),
     ("mesh_model_axis", int, 1, "model (vocab) parallel mesh size; shards the "

@@ -82,6 +82,10 @@ class Evaluator:
                 if getattr(opt, "att_quant", "") == "int8" and \
                         hasattr(spk, "quantize_ctx"):
                     ctx = spk.quantize_ctx(ctx)
+                elif getattr(opt, "att_kmajor", 0) and \
+                        hasattr(spk, "kmajor_ctx") and \
+                        ctx.get("att_feats") is not None:
+                    ctx = spk.kmajor_ctx(ctx)
                 if beam_size > 1:
                     out = decoding.beam_search(
                         spk, sp, ctx, opt.seq_length, beam_size,

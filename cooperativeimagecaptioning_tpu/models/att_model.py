@@ -97,6 +97,20 @@ def encode_features(params, fc_feats, att_feats, att_masks, rng=None, train=Fals
     return {"att_feats": emb, "p_att_feats": p_att, "att_masks": att_masks}
 
 
+def kmajor_ctx(ctx):
+    """Decode-time K-major context layout (--att_kmajor): one transpose per
+    sequence makes every per-step attention block exactly tile-aligned
+    (ops/pallas/att_step.py K-major section; measured 1.23x on the isolated
+    attention step at K=36, B=8192 on v5e).  Composes like quantize_ctx;
+    decode-only — training keeps the b-major layout."""
+    return {"att_feats_t": jnp.moveaxis(ctx["att_feats"], 1, 0),
+            "p_att_t": jnp.moveaxis(ctx["p_att_feats"], 1, 0),
+            # masks stay b-major [B, K] (legal Pallas block; the kernel
+            # consumes them in its [BB, K]-minor softmax layout anyway) —
+            # NOTE for beam expansion this means axis-0 repeat like b-major
+            "att_masks": ctx["att_masks"]}
+
+
 def bn_running_update(params, att_feats, att_masks, momentum=0.1):
     """EMA-update the att BN running statistics from one batch (torch
     BatchNorm1d train-mode semantics: momentum 0.1, unbiased variance).
@@ -176,7 +190,12 @@ def step(params, ctx, state, xt, rng=None, train=False, drop_prob: float = 0.0):
     core = params["core"]
     ap = core["attention"]
     from cooperativeimagecaptioning_tpu.ops.pallas import att_step, cell_step
-    if "att_feats_q" in ctx:
+    if "att_feats_t" in ctx:
+        att_res = att_step.fused_attention_kmajor(
+            h_prev, ctx["att_feats_t"], ctx["p_att_t"],
+            ap["h2att"]["w"], ap["h2att"]["b"],
+            ap["alpha_net"]["w"], ap["alpha_net"]["b"], ctx["att_masks"])
+    elif "att_feats_q" in ctx:
         att_res = att_step.fused_attention_q(
             h_prev, ctx["att_feats_q"], ctx["att_scale"],
             ctx["p_att_q"], ctx["p_att_scale"],

@@ -216,9 +216,12 @@ def sample(module, params, ctx, seq_length, rng, mode="greedy", temperature=1.0,
     select = _make_selector(mode, temperature, gumbel_temp, multinomial_temp,
                             prob_gumbel_softmax, prob_multinomial_soft)
 
-    fc_or_att = ctx.get(
-        "att_feats", ctx.get("att_feats_q", ctx.get("fc_feats")))
-    B = fc_or_att.shape[0]
+    if "att_feats_t" in ctx:  # K-major decode layout: batch on axis 1
+        B = ctx["att_feats_t"].shape[1]
+    else:
+        fc_or_att = ctx.get(
+            "att_feats", ctx.get("att_feats_q", ctx.get("fc_feats")))
+        B = fc_or_att.shape[0]
     nclass = params["logit"]["w"].shape[1]  # V+1
     vocab_plus2 = nclass + 1                # V+2
     bos = nclass  # BOS id = vocab_size + 1 = nclass (ref: FCModel.py:279)
@@ -329,12 +332,14 @@ def sample(module, params, ctx, seq_length, rng, mode="greedy", temperature=1.0,
 # Beam search
 # ---------------------------------------------------------------------------
 
-def _expand_for_beams(tree, m):
-    """Repeat each batch row m times along axis 0 ([B, ...] -> [B*m, ...])."""
+def _expand_for_beams(tree, m, axis=0):
+    """Repeat each batch row m times along the batch axis
+    ([B, ...] -> [B*m, ...]; axis=1 for the K-major ctx layout, whose
+    every entry carries batch on axis 1)."""
     def rep(x):
         if x is None:
             return None
-        return jnp.repeat(x, m, axis=0)
+        return jnp.repeat(x, m, axis=axis)
     return jax.tree.map(rep, tree, is_leaf=lambda x: x is None)
 
 
@@ -354,15 +359,25 @@ def beam_search(module, params, ctx, seq_length, beam_size,
         sums tie exactly across different words.
     Returns SampleOutput(seq [B, L], logprobs [B, L]).
     """
-    fc_or_att = ctx.get(
-        "att_feats", ctx.get("att_feats_q", ctx.get("fc_feats")))
-    B = fc_or_att.shape[0]
+    if "att_feats_t" in ctx:  # K-major decode layout: batch on axis 1
+        B = ctx["att_feats_t"].shape[1]
+    else:
+        fc_or_att = ctx.get(
+            "att_feats", ctx.get("att_feats_q", ctx.get("fc_feats")))
+        B = fc_or_att.shape[0]
     m = beam_size
     nclass = params["logit"]["w"].shape[1]
     bos = nclass
     L = seq_length
 
-    ectx = _expand_for_beams(ctx, m)
+    if "att_feats_t" in ctx:
+        # K-major ctx: transposed entries (*_t) carry batch on axis 1,
+        # the (b-major) mask on axis 0
+        ectx = {k: (None if v is None else
+                    jnp.repeat(v, m, axis=1 if k.endswith("_t") else 0))
+                for k, v in ctx.items()}
+    else:
+        ectx = _expand_for_beams(ctx, m)
     state = module.init_state(params, B * m)
     for pe in module.prefix_embeddings(params, ectx):
         state, _ = module.step(params, ectx, state, pe)

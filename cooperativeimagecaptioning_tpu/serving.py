@@ -101,6 +101,10 @@ class CaptioningService:
                 ctx = spk.encode_features(params, fc, att, att_masks)
                 if quant == "int8" and hasattr(spk, "quantize_ctx"):
                     ctx = spk.quantize_ctx(ctx)
+                elif getattr(self.opt, "att_kmajor", 0) and \
+                        hasattr(spk, "kmajor_ctx") and \
+                        ctx.get("att_feats") is not None:
+                    ctx = spk.kmajor_ctx(ctx)
                 if m > 1:
                     out = decoding.beam_search(
                         spk, params, ctx, opt.seq_length, m,

@@ -34,70 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel_kmajor(use_mask: bool):
-    def kernel(*refs):
-        if use_mask:
-            (h_ref, emb_ref, patt_ref, wh_ref, bh_ref, wa_ref, ba_ref,
-             mask_ref, out_ref) = refs
-        else:
-            (h_ref, emb_ref, patt_ref, wh_ref, bh_ref, wa_ref, ba_ref,
-             out_ref) = refs
-        att_h = jnp.dot(h_ref[:], wh_ref[:],
-                        preferred_element_type=jnp.float32) + bh_ref[:]
-        # [K, BB, A] blocks: (BB, A) tiles are exactly lane/sublane-aligned
-        dot = jnp.tanh(patt_ref[:].astype(jnp.float32) + att_h[None, :, :])
-        scores = jnp.sum(dot * wa_ref[:][:, 0][None, None, :],
-                         axis=2) + ba_ref[0, 0]            # [K, BB]
-        scores = scores - jnp.max(scores, axis=0, keepdims=True)
-        e = jnp.exp(scores)
-        w = e / jnp.sum(e, axis=0, keepdims=True)          # softmax over K
-        if use_mask:
-            w = w * mask_ref[:]
-            w = w / jnp.sum(w, axis=0, keepdims=True)
-        out_ref[:] = jnp.sum(
-            w[:, :, None] * emb_ref[:].astype(jnp.float32),
-            axis=0).astype(out_ref.dtype)
-    return kernel
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("block_b", "use_mask", "interpret"))
-def attention_kmajor(h, att_emb_t, p_att_t, w_h2att, b_h2att, w_alpha,
-                     b_alpha, masks_t, use_mask: bool, block_b: int = 64,
-                     interpret: bool = False):
-    """att_emb_t [K, B, H], p_att_t [K, B, A], masks_t [K, B] (transposed)."""
-    K, B, H = att_emb_t.shape
-    A = p_att_t.shape[2]
-    from cooperativeimagecaptioning_tpu.ops.pallas.att_step import \
-        _pick_block_b
-    bb = _pick_block_b(B, K, H, A, block_b, att_emb_t.dtype.itemsize)
-    grid = (B // bb,)
-    in_specs = [
-        pl.BlockSpec((bb, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, bb, H), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, bb, A), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((H, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((A, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-    ]
-    args = [h, att_emb_t, p_att_t, w_h2att, b_h2att.reshape(1, -1), w_alpha,
-            jnp.asarray(b_alpha).reshape(1, 1)]
-    if use_mask:
-        in_specs.append(pl.BlockSpec((K, bb), lambda i: (0, i),
-                                     memory_space=pltpu.VMEM))
-        args.append(masks_t)
-    return pl.pallas_call(
-        _make_kernel_kmajor(use_mask),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, H), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H), h.dtype),
-        interpret=interpret,
-    )(*args)
+from cooperativeimagecaptioning_tpu.ops.pallas.att_step import (  # noqa: E402
+    _attention_pallas_kmajor as attention_kmajor)
 
 
 def build(B, K=36, H=512, A=512, dtype=jnp.bfloat16, seed=0):

@@ -74,3 +74,43 @@ def test_block_b_scales_with_K_and_dims():
         bb = pick(B, K, 512, 512, 64)
         assert B % bb == 0 and bb >= 1
         assert bb * K * 512 <= 64 * 36 * 512 or bb <= 8
+
+
+def test_kmajor_ctx_decode_parity():
+    """--att_kmajor end-to-end: greedy + beam-2 decode over the K-major
+    context layout must produce identical ids/logprobs to the b-major path
+    (layout change only; masked variable-K context included)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from cooperativeimagecaptioning_tpu.config import Options
+    from cooperativeimagecaptioning_tpu.models import att_model
+    from cooperativeimagecaptioning_tpu.ops import decoding
+    from cooperativeimagecaptioning_tpu.training import joint
+
+    opt = Options(caption_model="att2in2", vse_model="None", rnn_size=24,
+                  input_encoding_size=16, att_hid_size=12, fc_feat_size=20,
+                  att_feat_size=20, drop_prob_lm=0.0)
+    opt.vocab_size = 30
+    opt.seq_length = 7
+    params = joint.init_params(jax.random.PRNGKey(0), opt)
+    rng = np.random.RandomState(0)
+    att = jnp.asarray(rng.randn(6, 5, 20), jnp.float32)
+    masks = np.ones((6, 5), np.float32)
+    masks[2, 3:] = 0
+    masks[4, 2:] = 0
+    masks = jnp.asarray(masks)
+    sp = joint.speaker_view(params, opt)
+    ctx = att_model.encode_features(sp, None, att, masks)
+    tctx = att_model.kmajor_ctx(ctx)
+    for decode in (
+            lambda c: decoding.sample(att_model, sp, c, opt.seq_length,
+                                      jax.random.PRNGKey(3), mode="greedy"),
+            lambda c: decoding.beam_search(att_model, sp, c,
+                                           opt.seq_length, 2)):
+        a = decode(ctx)
+        b = decode(tctx)
+        np.testing.assert_array_equal(np.asarray(a.seq), np.asarray(b.seq))
+        np.testing.assert_allclose(np.asarray(a.logprobs),
+                                   np.asarray(b.logprobs), rtol=1e-5,
+                                   atol=1e-6)

@@ -371,7 +371,6 @@ def test_att_kmajor_layout_parity():
                                 jnp.asarray(m))
     got_m = attention_kmajor(
         h, jnp.moveaxis(emb, 1, 0), jnp.moveaxis(p_att, 1, 0), wh, bh, wa,
-        ba, jnp.asarray(np.ascontiguousarray(m.T)), use_mask=True,
-        block_b=8, interpret=True)
+        ba, jnp.asarray(m), use_mask=True, block_b=8, interpret=True)
     np.testing.assert_allclose(np.asarray(ref_m), np.asarray(got_m),
                                rtol=2e-5, atol=2e-5)
