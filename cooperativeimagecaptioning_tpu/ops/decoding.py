@@ -401,18 +401,26 @@ def beam_search(module, params, ctx, seq_length, beam_size,
     state, out = module.step(params, ectx, state, xt)
     lp = head(out)
 
-    beam_seq = jnp.zeros((B, m, L), jnp.int32)
-    beam_logps = jnp.zeros((B, m, L))
-    # only beam 0 is active at the first merge (ref AttModel.py:213-215):
-    # encode that in the initial sums instead of masking candidates per step
+    # Backpointer formulation (r5): the scan carries only (state, lp,
+    # beam_sum, prev_c, best_p/best_t/best_j) and emits per-step
+    # (q, c, r) backpointer rows; sequences are reconstructed ONCE after the
+    # scan by a reverse backtrack.  Replaces the carried [B, m, L] seq/logps
+    # gathers + at-sets + per-step [B, L] best-selects (the beam profiler's
+    # "merge+bookkeeping" tier) with O(1) small stores per step; outputs are
+    # bit-identical (tests/test_beam_golden.py pins ids vs the torch
+    # reference at beam 2 and 5, with/without decoding_constraint).
+    # Only beam 0 is active at the first merge (ref AttModel.py:213-215):
+    # encode that in the initial sums instead of masking candidates per step.
     beam_sum = jnp.full((B, m), NEG_INF).at[:, 0].set(0.0)
     best_p = jnp.full((B,), NEG_INF)
-    best_seq = jnp.zeros((B, L), jnp.int32)
-    best_logps = jnp.zeros((B, L))
+    best_t = jnp.zeros((B,), jnp.int32)
+    best_j = jnp.zeros((B,), jnp.int32)
+    prev_c0 = jnp.zeros((B, m), jnp.int32)
 
-    def merge(t, lp, beam_seq, beam_logps, beam_sum,
-              best_p, best_seq, best_logps):
-        """One candidate expansion + reduction; returns new beams and best."""
+    def merge(t, lp, beam_sum, prev_c, best_p, best_t, best_j):
+        """One candidate expansion + reduction; returns the backpointer row
+        (q source beams, c words, r per-step logprobs), new sums, and the
+        updated best-done record (p, t, candidate index)."""
         # lp = (per-beam top-kk log-softmax values [B,m,kk], ids [B,m,kk]);
         # the global reduction over the m*m survivors is exactly the
         # reference's per-beam-cols-then-global construction
@@ -420,10 +428,10 @@ def beam_search(module, params, ctx, seq_length, beam_size,
         top_lp, top_i = lp
         if decoding_constraint:
             # ref AttModel.py:203-206: forbid repeating the word emitted at
-            # t-2 (only for t > 1); reduce the masked kk=m+1 candidates back
-            # to the per-beam top-m the reference's cols loop considers
-            prev = beam_seq[:, :, t - 2]                # [B, m]
-            forbid = (top_i == prev[:, :, None]) & (t > 1)
+            # t-2 (only for t > 1) — that word is the previous merge's c for
+            # each current beam; reduce the masked kk=m+1 candidates back to
+            # the per-beam top-m the reference's cols loop considers
+            forbid = (top_i == prev_c[:, :, None]) & (t > 1)
             top_lp = jnp.where(forbid, NEG_INF, top_lp)
             top_lp, sel = jax.lax.top_k(top_lp, m)      # [B, m, m]
             top_i = jnp.take_along_axis(top_i, sel, axis=2)
@@ -432,33 +440,22 @@ def beam_search(module, params, ctx, seq_length, beam_size,
         q = flat_idx // m
         c = jnp.take_along_axis(top_i.reshape(B, m * m), flat_idx, axis=1)
         r = jnp.take_along_axis(top_lp.reshape(B, m * m), flat_idx, axis=1)
-        new_seq = jnp.take_along_axis(beam_seq, q[:, :, None], axis=1)
-        new_seq = new_seq.at[:, :, t - 1].set(c)
-        new_logps = jnp.take_along_axis(beam_logps, q[:, :, None], axis=1)
-        new_logps = new_logps.at[:, :, t - 1].set(r)
-        # done-beam recording
+        # done-beam recording: argmax = first max = candidate-rank order
         is_done = (c == 0) | (t == L)
         done_p = jnp.where(is_done, p, NEG_INF)
-        best_cand = jnp.argmax(done_p, axis=1)  # first max = candidate-rank order
-        cand_p = jnp.take_along_axis(done_p, best_cand[:, None], axis=1)[:, 0]
+        cand_j = jnp.argmax(done_p, axis=1).astype(jnp.int32)
+        cand_p = jnp.take_along_axis(done_p, cand_j[:, None], axis=1)[:, 0]
         improved = cand_p > best_p
-        sel = lambda new, old: jnp.where(
-            improved.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
-        cand_seq = jnp.take_along_axis(
-            new_seq, best_cand[:, None, None], axis=1)[:, 0]
-        cand_logps = jnp.take_along_axis(
-            new_logps, best_cand[:, None, None], axis=1)[:, 0]
         best_p = jnp.where(improved, cand_p, best_p)
-        best_seq = sel(cand_seq, best_seq)
-        best_logps = sel(cand_logps, best_logps)
-        return q, c, new_seq, new_logps, p, best_p, best_seq, best_logps
+        best_t = jnp.where(improved, jnp.asarray(t, jnp.int32), best_t)
+        best_j = jnp.where(improved, cand_j, best_j)
+        return q, c, r, p, best_p, best_t, best_j
 
     def body(carry, t):
-        (state, lp, beam_seq, beam_logps, beam_sum,
-         best_p, best_seq, best_logps) = carry
-        q, c, beam_seq, beam_logps, beam_sum, best_p, best_seq, best_logps = \
-            merge(t, lp, beam_seq, beam_logps, beam_sum,
-                  best_p, best_seq, best_logps)
+        (state, lp, beam_sum, prev_c, best_p, best_t, best_j) = carry
+        q, c, r, beam_sum, best_p, best_t, best_j = merge(
+            t, lp, beam_sum, prev_c, best_p, best_t, best_j)
+
         # gather recurrent state by source beam
         def gather_state(x):
             xm = x.reshape((B, m) + x.shape[1:])
@@ -469,17 +466,42 @@ def beam_search(module, params, ctx, seq_length, beam_size,
         xt = module.embed_token(params, c.reshape(B * m))
         new_state, out = module.step(params, ectx, state, xt)
         lp = head(out)
-        return (new_state, lp, beam_seq, beam_logps, beam_sum,
-                best_p, best_seq, best_logps), None
+        return (new_state, lp, beam_sum, c, best_p, best_t, best_j), (q, c, r)
 
-    carry = (state, lp, beam_seq, beam_logps, beam_sum,
-             best_p, best_seq, best_logps)
+    carry = (state, lp, beam_sum, prev_c0, best_p, best_t, best_j)
     if L > 1:
-        carry, _ = jax.lax.scan(body, carry, jnp.arange(1, L))
-    (state, lp, beam_seq, beam_logps, beam_sum,
-     best_p, best_seq, best_logps) = carry
+        carry, (qs, cs, rs) = jax.lax.scan(body, carry, jnp.arange(1, L))
+    else:
+        qs = jnp.zeros((0, B, m), jnp.int32)
+        cs = jnp.zeros((0, B, m), jnp.int32)
+        rs = jnp.zeros((0, B, m))
+    (state, lp, beam_sum, prev_c, best_p, best_t, best_j) = carry
     # final merge at t == L (no core step needed afterwards)
-    _, _, _, _, _, best_p, best_seq, best_logps = merge(
-        jnp.asarray(L), lp, beam_seq, beam_logps, beam_sum,
-        best_p, best_seq, best_logps)
+    q_l, c_l, r_l, _, best_p, best_t, best_j = merge(
+        jnp.asarray(L), lp, beam_sum, prev_c, best_p, best_t, best_j)
+    qs = jnp.concatenate([qs, q_l[None].astype(qs.dtype)], axis=0)
+    cs = jnp.concatenate([cs, c_l[None].astype(cs.dtype)], axis=0)
+    rs = jnp.concatenate([rs, r_l[None].astype(rs.dtype)], axis=0)
+
+    # reverse backtrack: start at (best_t, best_j) and follow q pointers;
+    # positions past best_t stay 0 (the carried formulation's zero-init)
+    def back(carry, inputs):
+        j = carry
+        t, q_t, c_t, r_t = inputs
+        j = jnp.where(t == best_t, best_j, j)
+        active = t <= best_t
+        word = jnp.where(active, jnp.take_along_axis(
+            c_t, j[:, None], axis=1)[:, 0], 0)
+        logp = jnp.where(active, jnp.take_along_axis(
+            r_t, j[:, None], axis=1)[:, 0], 0.0)
+        j = jnp.where(active, jnp.take_along_axis(
+            q_t, j[:, None], axis=1)[:, 0].astype(jnp.int32), j)
+        return j, (word, logp)
+
+    ts = jnp.arange(L, 0, -1)
+    _, (words, logps) = jax.lax.scan(
+        back, jnp.zeros((B,), jnp.int32),
+        (ts, qs[::-1], cs[::-1], rs[::-1]))
+    best_seq = jnp.moveaxis(words[::-1], 0, 1).astype(jnp.int32)
+    best_logps = jnp.moveaxis(logps[::-1], 0, 1)
     return SampleOutput(best_seq, best_logps)
