@@ -134,11 +134,27 @@ class CiderD:
         delta = float(len_h - len_r)
         return val * np.e ** (-(delta ** 2) / (2 * self.sigma ** 2))
 
+    # vectorized hooks (the Cider subclass overrides both): same fp ops in
+    # the same per-pair order as the scalar _pair_val/_apply_penalty spec
+    def _terms_vec(self, wh, wr):
+        return np.minimum(wh, wr) * wr
+
+    def _penalty_vec(self, vals, delta):
+        return vals * np.e ** (-(delta ** 2) / (2 * self.sigma ** 2))
+
     # -- public -------------------------------------------------------------
     def compute_score(self, gts: dict, res: list):
         """gts: {image_id: [ref strings]}; res: [{'image_id', 'caption': [hyp]}].
 
-        Returns (mean_score, per-item scores ndarray) like ciderD.py:31-55."""
+        Returns (mean_score, per-item scores ndarray) like ciderD.py:31-55.
+
+        Fully vectorized per level (one np.unique over the flat
+        (sentence, gram) keys, bincount tf/df/norms, searchsorted hyp-gram
+        membership for every (hyp, ref) pair at once): the per-sentence /
+        per-pair numpy loops of the earlier tier were ~7.5M tiny calls at the
+        5000-image protocol (~6 s/eval; this path is ~0.4 s).  The per-pair
+        fp accumulation order matches the scalar spec exactly (sorted common
+        gram ids, refs in slice order), so reference parity is unchanged."""
         tests, ref_slices, all_sents = [], [], []
         for item in res:
             hyp = item["caption"]
@@ -154,60 +170,97 @@ class CiderD:
 
         idx = _GramIndex(all_sents, self.n)
         n_items = len(res)
+        S = len(all_sents)
+        tests_arr = np.asarray(tests, np.int64)
 
-        # per-sentence (gram ids, tf) per level
-        per_sent = [[idx.sentence_counts(n, s) for s in range(len(all_sents))]
-                    for n in range(1, self.n + 1)]
+        # pair structure: one row per (item, ref) in the spec's loop order
+        pair_item = np.concatenate(
+            [np.full(len(sl), i, np.int64)
+             for i, sl in enumerate(ref_slices)])
+        pair_ref = np.concatenate(
+            [np.asarray(list(sl), np.int64) for sl in ref_slices])
+        n_pairs = len(pair_item)
+        n_refs = np.asarray([len(sl) for sl in ref_slices], np.float64)
+        # sentence roles: item of each hyp sentence / pair of each ref
+        item_of_sent = np.full(S, -1, np.int64)
+        item_of_sent[tests_arr] = np.arange(n_items)
+        pair_of_sent = np.full(S, -1, np.int64)
+        pair_of_sent[pair_ref] = np.arange(n_pairs)
 
-        # document frequency per level: ndarray over compact gram ids
-        dfs = []
         if self.df_mode == "corpus":
             ref_len = float(np.log(float(n_items)))
-            for n in range(1, self.n + 1):
-                df = np.zeros(max(1, idx.n_unique[n - 1]))
-                for sl in ref_slices:
-                    img_grams = np.unique(np.concatenate(
-                        [per_sent[n - 1][s][0] for s in sl]))
-                    df[img_grams] += 1.0
-                dfs.append(df)
         else:
             ref_len = self.ref_len
-            table = self.document_frequency
-            for n in range(1, self.n + 1):
-                df = np.zeros(max(1, idx.n_unique[n - 1]))
-                for g in range(idx.n_unique[n - 1]):
-                    df[g] = table.get(idx.tuple_of(n, g), 0.0)
-                dfs.append(df)
 
-        # tf-idf weight vectors + norms per sentence per level
-        # (ciderD_scorer.py:121-146); "length" = bigram count
-        W, norms = [], []
-        for n in range(1, self.n + 1):
-            wn, nn = [], []
-            idf = ref_len - np.log(np.maximum(1.0, dfs[n - 1]))
-            for gids, tf in per_sent[n - 1]:
-                w = tf.astype(np.float64) * idf[gids]
-                wn.append(w)
-                nn.append(float(np.sqrt(np.sum(w * w))))
-            W.append(wn)
-            norms.append(nn)
-        length = [int(np.sum(per_sent[1][s][1])) if self.n >= 2 else 0
-                  for s in range(len(all_sents))]
+        # "length" = bigram count (ciderD_scorer.py:143-145) — the number of
+        # level-2 gram positions per sentence
+        length = (np.fromiter((len(g) for g in idx.grams[1]), np.int64, S)
+                  if self.n >= 2 else np.zeros(S, np.int64))
+        level_scores = np.zeros((n_items, self.n))
+        for n0 in range(self.n):
+            grams = idx.grams[n0]
+            G = max(1, idx.n_unique[n0])
+            lens = np.fromiter((len(g) for g in grams), np.int64, S)
+            flat = np.concatenate(grams) if len(grams) else \
+                np.empty(0, np.int64)
+            sent_of = np.repeat(np.arange(S), lens)
+            # per-sentence unique grams + tf in ONE pass: keys sort by
+            # (sentence, gram id) so each sentence's rows come out in the
+            # same sorted-gram order as a per-sentence np.unique
+            ukey, tf = np.unique(sent_of * G + flat, return_counts=True)
+            u_sent = ukey // G
+            u_gid = ukey % G
 
-        scores = np.empty(n_items)
-        for i in range(n_items):
-            t = tests[i]
-            score_n = np.zeros(self.n)
-            for r in ref_slices[i]:
-                for n0 in range(self.n):
-                    val = self._pair_val(
-                        W[n0][t], W[n0][r],
-                        per_sent[n0][t][0], per_sent[n0][r][0])
-                    if norms[n0][t] != 0 and norms[n0][r] != 0:
-                        val /= norms[n0][t] * norms[n0][r]
-                    score_n[n0] += self._apply_penalty(
-                        val, length[t], length[r])
-            scores[i] = float(np.mean(score_n) / len(ref_slices[i]) * 10.0)
+            # document frequency over compact gram ids
+            if self.df_mode == "corpus":
+                # distinct (image, gram) pairs over REF sentences
+                rmask = pair_of_sent[u_sent] >= 0
+                dkey = np.unique(
+                    pair_item[pair_of_sent[u_sent[rmask]]] * G
+                    + u_gid[rmask])
+                df = np.bincount(dkey % G, minlength=G).astype(np.float64)
+            else:
+                table = self.document_frequency
+                df = np.zeros(G)
+                for g in range(idx.n_unique[n0]):
+                    df[g] = table.get(idx.tuple_of(n0 + 1, g), 0.0)
+
+            idf = ref_len - np.log(np.maximum(1.0, df))
+            w = tf.astype(np.float64) * idf[u_gid]
+            norm = np.sqrt(np.bincount(u_sent, weights=w * w, minlength=S))
+
+            # hyp-side lookup: sorted (item, gram) keys (u is sorted by
+            # (sent, gram) and hyp items are increasing in sentence order)
+            hmask = item_of_sent[u_sent] >= 0
+            hkey = item_of_sent[u_sent[hmask]] * G + u_gid[hmask]
+            hvals = w[hmask]
+            # ref side: every gram of every ref row, in sorted-gram order
+            rmask = pair_of_sent[u_sent] >= 0
+            rpair = pair_of_sent[u_sent[rmask]]
+            rkey = pair_item[rpair] * G + u_gid[rmask]
+            rw = w[rmask]
+            if len(hkey):
+                pos = np.searchsorted(hkey, rkey)
+                pos_c = np.minimum(pos, len(hkey) - 1)
+                found = hkey[pos_c] == rkey
+                wh = hvals[pos_c]
+                terms = np.where(found, self._terms_vec(wh, rw), 0.0)
+            else:
+                terms = np.zeros(len(rw))
+            # per-pair clipped-cosine numerator: bincount accumulates in
+            # element order = sorted common gram ids (= intersect1d order)
+            vals = np.bincount(rpair, weights=terms, minlength=n_pairs)
+            nt = norm[tests_arr[pair_item]]
+            nr = norm[pair_ref]
+            nz = (nt != 0) & (nr != 0)
+            vals = np.where(nz, vals / np.where(nz, nt * nr, 1.0), vals)
+            delta = (length[tests_arr[pair_item]]
+                     - length[pair_ref]).astype(np.float64)
+            vals = self._penalty_vec(vals, delta)
+            # sum over an item's refs in pair (slice) order
+            level_scores[:, n0] = np.bincount(pair_item, weights=vals,
+                                              minlength=n_items)
+        scores = np.mean(level_scores, axis=1) / n_refs * 10.0
         return float(np.mean(scores)), scores
 
 
@@ -225,3 +278,9 @@ class Cider(CiderD):
 
     def _apply_penalty(self, val, len_h, len_r):
         return val
+
+    def _terms_vec(self, wh, wr):
+        return wh * wr
+
+    def _penalty_vec(self, vals, delta):
+        return vals
