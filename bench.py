@@ -361,14 +361,13 @@ def main():
 
     try:
         _main_after_signal(batch, skip_extras, budget_s, t0, resume,
-                           baseline, _resume_skip, _with_last_good,
-                           prev_term)
+                           baseline, _resume_skip, _with_last_good)
     finally:
         _restore_term()
 
 
 def _main_after_signal(batch, skip_extras, budget_s, t0, resume, baseline,
-                       _resume_skip, _with_last_good, prev_term):
+                       _resume_skip, _with_last_good):
     import os
     import signal
     probe_t0 = time.time()

@@ -21,7 +21,6 @@ kernel, and the pure-XLA reference, plus the transpose cost.
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
 import time
@@ -30,8 +29,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 from cooperativeimagecaptioning_tpu.ops.pallas.att_step import (  # noqa: E402
