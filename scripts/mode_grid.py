@@ -54,6 +54,8 @@ from scripts.showcase_full_scale import (
 # these to the reference flag-sets)
 MODES = {
     "gumbel": dict(optimization="gumbel", discriminative=0.3),
+    "gumbel_softmax": dict(optimization="gumbel_softmax",
+                           discriminative=0.3),
     "reinforce": dict(optimization="reinforce", discriminative=0.8,
                       lr=5e-3, decay=0.8, vse=0.1, reinforce_baseline="gt"),
     "multinomial": dict(optimization="multinomial", discriminative=0.3),
@@ -107,6 +109,14 @@ def main(argv=None):
                             images=args.images, **dims),
                "pretrain": {}, "modes": {}}
     out_path = os.path.join(args.workdir, "mode_grid.json")
+    if os.path.isfile(out_path):
+        # re-runs extend the existing grid (e.g. adding a mode later) rather
+        # than clobbering completed modes
+        with open(out_path) as f:
+            prior = json.load(f)
+        for k in ("pretrain", "modes", "baseline"):
+            if k in prior:
+                results[k] = prior[k]
 
     def flush():
         with open(out_path, "w") as f:
@@ -118,7 +128,7 @@ def main(argv=None):
     flush()
 
     joint_target = args.mle_iters + args.joint_iters
-    baseline = None
+    baseline = results.get("baseline")  # reuse from a prior run
     for mode in modes:
         mk = MODES[mode]
         d = mk["discriminative"]
