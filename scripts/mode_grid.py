@@ -18,6 +18,7 @@ trajectories of:
 Modes and their reference-published hyperparams:
   gumbel            D=0.3 (the r4 cooperative-dynamic config; run_joint.sh
                     gumbel flag-set, lr 5e-4 decay 0.8)
+  gumbel_softmax    D=0.3, prob 0.25 (run_joint.sh gumbel_softmax flag-set)
   reinforce         D=0.8, gt baseline, vse 0.1, lr 5e-3, decay 0.8
                     (README.md:96 known-good)
   multinomial       D=0.3, temperature 1 (run_joint.sh multinomial flag-set)
