@@ -180,3 +180,28 @@ def test_showcase_full_scale_tiny_end_to_end(tmp_path):
     assert all(p["rsum"] is not None for p in fr["points"])
     assert _json.load(open(os.path.join(
         wd, "fixed_listener_rank_joint_g03.json")))["points"]
+
+
+@pytest.mark.slow
+def test_mode_grid_tiny_and_extend(tmp_path):
+    """scripts/mode_grid end-to-end at tiny dims, twice: a second run adding
+    a mode must EXTEND mode_grid.json (reusing the pretrain stages and the
+    seeded baseline) instead of clobbering completed modes."""
+    from scripts import mode_grid
+    common = [
+        "--images", "24", "--batch", "4", "--vocab", "40", "--seq", "8",
+        "--listener-iters", "3", "--mle-iters", "4", "--joint-iters", "4",
+        "--eval-every", "2", "--val-images-use", "4",
+        "--workdir", str(tmp_path / "wd"),
+        "--conditions", "current-sample",
+        "--set", "rnn_size=24", "--set", "input_encoding_size=16",
+        "--set", "att_hid_size=12", "--set", "vse_embed_size=16",
+        "--set", "fc_feat_size=20", "--set", "att_feat_size=20",
+        "--set", "max_att_len=5", "--set", "drop_prob_lm=0.1"]
+    r1 = mode_grid.main(common + ["--modes", "gumbel"])
+    assert r1["modes"]["gumbel"]["rank_points"]
+    assert r1["pretrain"]["stage1_listener"]["deviations"] == {}
+    r2 = mode_grid.main(common + ["--modes", "reinforce"])
+    assert set(r2["modes"]) == {"gumbel", "reinforce"}
+    assert r2["baseline"] == r1["baseline"]  # reused, not recomputed
+    assert r2["modes"]["gumbel"]["rank_points"]  # prior mode intact
