@@ -555,6 +555,8 @@ def _main_after_signal(batch, skip_extras, budget_s, t0, resume, baseline,
     # the extra sub-benches named by the BASELINE metric line, each guarded:
     # a failure or a blown budget degrades to an *_error field, never rc!=0
     extras = [
+        ("beam2_captions_per_sec",
+         lambda: bench_beam(8 if on_cpu else 2048, 2, dtype)),
         ("beam5_captions_per_sec",
          lambda: bench_beam(8 if on_cpu else 1024, 5, dtype)),
         ("train_mle_it_per_s",
@@ -562,7 +564,7 @@ def _main_after_signal(batch, skip_extras, budget_s, t0, resume, baseline,
         ("train_mle_fused_it_per_s",
          lambda: bench_train_fused(8 if on_cpu else 128,
                                    fuse_k=4 if on_cpu else 20,
-                                   iters=8 if on_cpu else 60)),
+                                   iters=8 if on_cpu else 100)),
         ("resnet101_images_per_sec",
          lambda: bench_resnet(1 if on_cpu else 16, 64 if on_cpu else 448)),
     ]

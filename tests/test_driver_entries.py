@@ -201,11 +201,12 @@ def test_bench_progressive_checkpoint_lines(monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     bench.main()
     lines = [json.loads(s) for s in capsys.readouterr().out.strip().splitlines()]
-    assert len(lines) == 6  # beam1 + 4 extras (partial) + final
+    assert len(lines) == 7  # beam1 + 5 extras (partial) + final
     assert all(obj.get("partial") for obj in lines[:-1])
     final = lines[-1]
     assert "partial" not in final
     assert final["value"] == 111.0
+    assert final["beam2_captions_per_sec"] == 22.0
     assert final["beam5_captions_per_sec"] == 22.0
     assert final["train_mle_it_per_s"] == 33.0
     assert final["train_mle_fused_it_per_s"] == 44.0
@@ -356,7 +357,7 @@ def test_bench_resume_skips_measured_subbenches(monkeypatch, capsys):
     import bench
     monkeypatch.setenv("CIC_BENCH_RESUME", json.dumps({
         "value": 111.0, "vs_baseline": 0.02, "beam1_wall_s": 5.0,
-        "beam5_captions_per_sec": 22.0,
+        "beam2_captions_per_sec": 21.0, "beam5_captions_per_sec": 22.0,
         "train_mle_it_per_s_error": "UNAVAILABLE: backend gone"}))
     monkeypatch.setenv("CIC_BENCH_T0", repr(1.0))
     monkeypatch.setattr(bench, "_probe_backend", lambda *a, **k: ("cpu", None))
@@ -385,6 +386,7 @@ def test_bench_resume_skips_measured_subbenches(monkeypatch, capsys):
     obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert called == {"beam1": 0, "beam5": 0, "train": 1}
     assert obj["value"] == 111.0
+    assert obj["beam2_captions_per_sec"] == 21.0
     assert obj["beam5_captions_per_sec"] == 22.0
     assert obj["train_mle_it_per_s"] == 33.0  # the failed extra retried
 
