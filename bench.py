@@ -103,11 +103,16 @@ def bench_beam(batch_size: int, beam_size: int, dtype, iters: int = 5):
                               if x.dtype == jnp.float32 else x, params)
     rng = np.random.RandomState(0)
     att = jnp.asarray(rng.randn(batch_size, 36, 2048), dtype)
+    import os
+    kmajor = os.environ.get("CIC_ATT_KMAJOR", "1") == "1" and \
+        dtype == jnp.bfloat16  # +41-53% beam2 / +34% beam5 on v5e
 
     @jax.jit
     def decode(params, att):
         sp = joint.speaker_view(params, opt)
         ctx = att_model.encode_features(sp, None, att, None)
+        if kmajor:
+            ctx = att_model.kmajor_ctx(ctx)
         return decoding.beam_search(att_model, sp, ctx, opt.seq_length,
                                     beam_size).seq
 

@@ -82,11 +82,11 @@ class Evaluator:
                 if getattr(opt, "att_quant", "") == "int8" and \
                         hasattr(spk, "quantize_ctx"):
                     ctx = spk.quantize_ctx(ctx)
-                elif getattr(opt, "att_kmajor", 0) and beam_size <= 1 \
-                        and hasattr(spk, "kmajor_ctx") and \
+                elif getattr(opt, "att_kmajor", 0) and \
+                        hasattr(spk, "kmajor_ctx") and \
                         ctx.get("att_feats") is not None:
-                    # greedy/sample only: the beam path's axis-1 ctx expand
-                    # defeats the K-major layout (measured -40% on chip)
+                    # greedy +14.5%, beam +22% (beam expand materialized
+                    # behind an optimization barrier, ops/decoding.py)
                     ctx = spk.kmajor_ctx(ctx)
                 if beam_size > 1:
                     out = decoding.beam_search(

@@ -372,9 +372,12 @@ def beam_search(module, params, ctx, seq_length, beam_size,
 
     if "att_feats_t" in ctx:
         # K-major ctx: transposed entries (*_t) carry batch on axis 1,
-        # the (b-major) mask on axis 0
-        ectx = {k: (None if v is None else
-                    jnp.repeat(v, m, axis=1 if k.endswith("_t") else 0))
+        # the (b-major) mask on axis 0.  The barrier forces the expanded
+        # context to MATERIALIZE before the decode scan — without it XLA
+        # inlines the mid-axis repeat into every scan step's kernel input
+        # (measured: 33k vs 66k captions/s at beam 2, B=2048)
+        ectx = {k: (None if v is None else jax.lax.optimization_barrier(
+                    jnp.repeat(v, m, axis=1 if k.endswith("_t") else 0)))
                 for k, v in ctx.items()}
     else:
         ectx = _expand_for_beams(ctx, m)
